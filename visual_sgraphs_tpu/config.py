@@ -1,0 +1,190 @@
+"""Hierarchical configuration for the whole system.
+
+Single typed replacement for the reference's four host-side config layers
+(SURVEY §5.6): sensor settings yaml (Settings.cc), the SystemParams singleton
+(Types/SystemParams.cc / config/common_system_params.yaml), the environment
+JSON database (DatabaseParser.cc), and launch-file parameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Sequence
+
+import numpy as np
+
+
+class Sensor:
+    MONOCULAR = 0
+    STEREO = 1
+    RGBD = 2
+    IMU_MONOCULAR = 3
+    IMU_STEREO = 4
+    IMU_RGBD = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole intrinsics + optional distortion (config/RGB-D/TUM1.yaml)."""
+
+    fx: float = 517.3
+    fy: float = 516.5
+    cx: float = 318.6
+    cy: float = 255.3
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    width: int = 640
+    height: int = 480
+    fps: float = 30.0
+    bf: float = 40.0  # stereo baseline * fx
+    depth_factor: float = 5000.0  # RGB-D depth-map scaling (DepthMapFactor)
+    depth_thresh: float = 40.0 / 517.3 * 3.0  # close/far point threshold
+
+    @property
+    def K(self) -> np.ndarray:
+        return np.array([self.fx, self.fy, self.cx, self.cy], np.float32)
+
+    @property
+    def dist(self) -> np.ndarray:
+        return np.array([self.k1, self.k2, self.p1, self.p2, self.k3],
+                        np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class OrbConfig:
+    """ORBextractor.* settings block."""
+
+    n_features: int = 1000
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    ini_fast_thresh: float = 20.0
+    min_fast_thresh: float = 7.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackingConfig:
+    match_radius_coarse: float = 15.0  # motion-model window (px)
+    match_radius_fine: float = 7.0
+    min_inliers_ok: int = 15  # below -> RECENTLY_LOST
+    min_matches_track: int = 20
+    kf_min_interval: int = 3  # frames between keyframes (min)
+    kf_max_interval: int = 30  # force new KF after this many frames
+    kf_min_tracked_ratio: float = 0.75  # new KF if tracked/ref < this
+    recently_lost_budget: float = 5.0  # seconds before LOST (Tracking.cc:2051)
+
+
+@dataclasses.dataclass(frozen=True)
+class MappingConfig:
+    local_window: int = 10  # covisible KFs in local BA
+    lba_iters: int = 10
+    lba_rounds: int = 2
+    point_cull_min_found_ratio: float = 0.25
+    point_cull_min_obs: int = 2
+    kf_cull_redundancy: float = 0.9  # KF redundant if 90% points seen 3+ times
+    max_obs_per_ba: int = 16384
+
+
+@dataclasses.dataclass(frozen=True)
+class CapacityConfig:
+    """Static array capacities (compile-time shape bucket sizes)."""
+
+    max_keyframes: int = 256
+    max_points: int = 65536
+    max_planes: int = 64
+    max_rooms: int = 16
+    max_doors: int = 16
+    max_markers: int = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneGraphConfig:
+    """vS-Graphs semantic/geometric segmentation knobs
+    (config/common_system_params.yaml via SystemParams.h:33-160)."""
+
+    mode: str = "both"  # {both, semantic, geometric} operation modes
+    marker_impact: float = 0.5
+    plane_kf_factor: bool = True
+    plane_point_factor: bool = True
+    plane_map_point_factor: bool = False
+    plane_assoc_ominus_thresh: float = 0.3
+    plane_assoc_dist_thresh: float = 0.35
+    plane_min_votes: float = 3.0
+    ransac_iters: int = 256
+    ransac_dist_thresh: float = 0.04
+    ransac_min_inliers: int = 300
+    voxel_size: float = 0.05
+    room_wall_dist_thresh: float = 4.0
+    room_center_dist_thresh: float = 1.5
+    min_wall_area: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ImuConfig:
+    """IMU noise / extrinsics (the settings yaml's IMU block)."""
+
+    noise_gyro: float = 1.7e-4
+    noise_acc: float = 2.0e-3
+    walk_gyro: float = 1.9e-5
+    walk_acc: float = 3.0e-3
+    freq: float = 200.0
+    # T_bc: camera-to-body SE3 as [qw qx qy qz tx ty tz]
+    T_bc: tuple = (1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvRoom:
+    """Prior room entry of the environment database
+    (config/Environments/*.json, DatabaseParser.cc:32-70)."""
+
+    name: str
+    meta_marker: int
+    is_corridor: bool = False
+    door_markers: tuple = ()
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvDoor:
+    name: str
+    marker: int
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvDatabase:
+    rooms: tuple = ()
+    doors: tuple = ()
+
+    @staticmethod
+    def from_json(path: str) -> "EnvDatabase":
+        with open(path) as f:
+            data = json.load(f)
+        rooms = tuple(
+            EnvRoom(
+                name=r.get("name", f"room{i}"),
+                meta_marker=int(r.get("metaMarker", -1)),
+                is_corridor=bool(r.get("isCorridor", False)),
+                door_markers=tuple(int(d) for d in r.get("doorMarkers", [])),
+            )
+            for i, r in enumerate(data.get("rooms", []))
+        )
+        doors = tuple(
+            EnvDoor(name=d.get("name", f"door{i}"), marker=int(d["marker"]))
+            for i, d in enumerate(data.get("doors", []))
+        )
+        return EnvDatabase(rooms=rooms, doors=doors)
+
+
+@dataclasses.dataclass(frozen=True)
+class SystemConfig:
+    sensor: int = Sensor.RGBD
+    camera: CameraConfig = CameraConfig()
+    orb: OrbConfig = OrbConfig()
+    tracking: TrackingConfig = TrackingConfig()
+    mapping: MappingConfig = MappingConfig()
+    capacity: CapacityConfig = CapacityConfig()
+    scenegraph: SceneGraphConfig = SceneGraphConfig()
+    imu: ImuConfig = ImuConfig()
+    env: EnvDatabase = EnvDatabase()

@@ -1,0 +1,508 @@
+"""Jitted mapping programs: keyframe insertion, point creation, local BA.
+
+Device-side equivalents of the reference's LocalMapping thread
+(LocalMapping.cc:58-278): ProcessNewKeyFrame, CreateNewMapPoints
+(epipolar triangulation), the Schur local BA (Optimizer.cc:1454) and
+map-point culling (LocalMapping.cc:341).  Instead of a worker thread popping
+a queue, the host calls these after each keyframe decision; the map pytree
+is replaced functionally.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visual_sgraphs_tpu.core import cameras, geometry, lie
+from visual_sgraphs_tpu.features.match import match_nn_ratio
+from visual_sgraphs_tpu.optim import (
+    FactorBatch,
+    GraphProblem,
+    factors,
+    optimize,
+    point_family,
+    se3_family,
+)
+from visual_sgraphs_tpu.slam.frame import FrameObs
+from visual_sgraphs_tpu.slam.map_state import (
+    MapState,
+    covisibility_counts,
+    point_obs_count,
+)
+
+CHI2_MONO = 5.991
+
+
+# ---------------------------------------------------------------------------
+# keyframe insertion + RGB-D point seeding
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def insert_keyframe(
+    m: MapState,
+    frame: FrameObs,
+    pose: jax.Array,
+    slot_pt: jax.Array,
+    cam_K: jax.Array,
+) -> tuple[MapState, jax.Array]:
+    """Write the frame into keyframe slot ``n_kf``; seed new map points from
+    keypoints with valid depth that didn't match an existing point
+    (CreateNewKeyFrame's close-point seeding, Tracking.cc:3318-3394).
+
+    Returns (new_map, kf_id).
+    """
+    k = jnp.minimum(m.n_kf, m.K - 1)
+    F = m.F
+
+    # backproject unmatched keypoints with depth into world points
+    T_wc = lie.se3_inverse(pose)
+    rays = cameras.unproject_pinhole(cam_K, frame.uv)
+    p_cam = rays * frame.depth[:, None]
+    p_world = lie.se3_apply(T_wc, p_cam)
+    new_mask = frame.valid & (frame.depth > 0) & (slot_pt < 0)
+    # allocate point ids sequentially from n_pt (capacity clamped)
+    order = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
+    new_ids = jnp.where(new_mask, m.n_pt + order, -1)
+    new_ids = jnp.where(new_ids < m.N, new_ids, -1)
+    alloc = new_ids >= 0
+    safe_ids = jnp.maximum(new_ids, 0)
+
+    pt_pos = m.pt_pos.at[safe_ids].set(
+        jnp.where(alloc[:, None], p_world, m.pt_pos[safe_ids])
+    )
+    pt_valid = m.pt_valid.at[safe_ids].set(
+        alloc | m.pt_valid[safe_ids]
+    )
+    pt_desc = m.pt_desc.at[safe_ids].set(
+        jnp.where(alloc[:, None], frame.desc, m.pt_desc[safe_ids])
+    )
+    pt_first = m.pt_first_kf.at[safe_ids].set(
+        jnp.where(alloc, k, m.pt_first_kf[safe_ids])
+    )
+    obs_pt = jnp.where(alloc, new_ids, slot_pt)
+
+    new_m = m._replace(
+        kf_pose=m.kf_pose.at[k].set(pose),
+        kf_valid=m.kf_valid.at[k].set(True),
+        kf_timestamp=m.kf_timestamp.at[k].set(frame.timestamp),
+        kf_uv=m.kf_uv.at[k].set(frame.uv),
+        kf_depth=m.kf_depth.at[k].set(frame.depth),
+        kf_level=m.kf_level.at[k].set(frame.level),
+        kf_angle=m.kf_angle.at[k].set(frame.angle),
+        kf_desc=m.kf_desc.at[k].set(frame.desc),
+        kf_kp_valid=m.kf_kp_valid.at[k].set(frame.valid),
+        kf_obs_pt=m.kf_obs_pt.at[k].set(obs_pt),
+        pt_pos=pt_pos,
+        pt_valid=pt_valid,
+        pt_desc=pt_desc,
+        pt_first_kf=pt_first,
+        pt_visible=m.pt_visible.at[safe_ids].add(alloc.astype(jnp.int32)),
+        pt_found=m.pt_found.at[safe_ids].add(alloc.astype(jnp.int32)),
+        n_kf=m.n_kf + 1,
+        n_pt=jnp.minimum(m.n_pt + jnp.sum(new_mask), m.N),
+    )
+    return new_m, k
+
+
+# ---------------------------------------------------------------------------
+# mono point creation: epipolar triangulation with the best neighbour
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def create_points_mono(m: MapState, kf_id: jax.Array,
+                       cam_K: jax.Array) -> MapState:
+    """Triangulate new points between ``kf_id`` and its best covisible
+    neighbour (CreateNewMapPoints, LocalMapping.cc:382 — reduced to the
+    single best neighbour; widened later rounds can scan the top-N)."""
+    counts = covisibility_counts(m, kf_id)
+    nb = jnp.argmax(counts)
+    T_c = m.kf_pose[kf_id]
+    T_n = m.kf_pose[nb]
+    # match unassociated keypoints of the two frames
+    un_c = m.kf_kp_valid[kf_id] & (m.kf_obs_pt[kf_id] < 0)
+    un_n = m.kf_kp_valid[nb] & (m.kf_obs_pt[nb] < 0)
+    match, _ = match_nn_ratio(
+        m.kf_desc[kf_id], un_c, m.kf_desc[nb], un_n,
+        ratio=0.8,
+        angle_a=m.kf_angle[kf_id], angle_b=m.kf_angle[nb],
+    )
+    ok = match >= 0
+    slot_n = jnp.maximum(match, 0)
+    ray_c = cameras.unproject_pinhole(cam_K, m.kf_uv[kf_id])
+    ray_n = cameras.unproject_pinhole(cam_K, m.kf_uv[nb][slot_n])
+    # relative pose: points in c-frame -> n-frame
+    T_nc = lie.se3_multiply(T_n, lie.se3_inverse(T_c))
+    p_c, z1, z2 = geometry.triangulate_dlt(
+        ray_c, ray_n, jnp.broadcast_to(T_nc, ray_c.shape[:1] + (7,))
+    )
+    cosp = geometry.parallax_cos(ray_c, ray_n, T_nc)
+    # reprojection check in both views
+    uv_c = cameras.project_pinhole(cam_K, p_c)
+    p_n = lie.se3_apply(T_nc, p_c)
+    uv_n = cameras.project_pinhole(cam_K, p_n)
+    err_c = jnp.sum((uv_c - m.kf_uv[kf_id]) ** 2, axis=-1)
+    err_n = jnp.sum((uv_n - m.kf_uv[nb][slot_n]) ** 2, axis=-1)
+    good = (
+        ok
+        & (z1 > 0.05) & (z2 > 0.05)
+        & (cosp < 0.9998)  # enough parallax (~1 deg)
+        & (err_c < CHI2_MONO) & (err_n < CHI2_MONO)
+    )
+    p_world = lie.se3_apply(lie.se3_inverse(T_c), p_c)
+
+    order = jnp.cumsum(good.astype(jnp.int32)) - 1
+    new_ids = jnp.where(good, m.n_pt + order, -1)
+    new_ids = jnp.where(new_ids < m.N, new_ids, -1)
+    alloc = new_ids >= 0
+    safe = jnp.maximum(new_ids, 0)
+
+    return m._replace(
+        pt_pos=m.pt_pos.at[safe].set(
+            jnp.where(alloc[:, None], p_world, m.pt_pos[safe])
+        ),
+        pt_valid=m.pt_valid.at[safe].set(alloc | m.pt_valid[safe]),
+        pt_desc=m.pt_desc.at[safe].set(
+            jnp.where(alloc[:, None], m.kf_desc[kf_id], m.pt_desc[safe])
+        ),
+        pt_first_kf=m.pt_first_kf.at[safe].set(
+            jnp.where(alloc, kf_id, m.pt_first_kf[safe])
+        ),
+        kf_obs_pt=m.kf_obs_pt.at[kf_id].set(
+            jnp.where(alloc, new_ids, m.kf_obs_pt[kf_id])
+        ).at[nb, slot_n].set(
+            jnp.where(alloc, new_ids, m.kf_obs_pt[nb, slot_n]), mode="drop"
+        ),
+        n_pt=jnp.minimum(m.n_pt + jnp.sum(good), m.N),
+    )
+
+
+# ---------------------------------------------------------------------------
+# local bundle adjustment
+# ---------------------------------------------------------------------------
+
+
+class LbaStats(NamedTuple):
+    cost0: jax.Array
+    cost1: jax.Array
+    n_obs: jax.Array
+    n_local_kf: jax.Array
+
+
+CHI2_STEREO = 7.815
+
+
+@functools.partial(jax.jit, static_argnames=("n_window", "n_local_pts",
+                                             "iters"))
+def local_ba(
+    m: MapState,
+    kf_id: jax.Array,
+    cam_K: jax.Array,
+    cam_bf: jax.Array = None,
+    n_window: int = 10,
+    n_local_pts: int = 8192,
+    iters: int = 10,
+) -> tuple[MapState, LbaStats]:
+    """Windowed BA over the covisibility neighbourhood of ``kf_id``
+    (Optimizer::LocalBundleAdjustment, Optimizer.cc:1454): top covisible
+    keyframes + the points they see; the oldest local keyframe (and any
+    keyframe 0) is held fixed as gauge anchor.
+
+    Keypoints with valid depth get stereo (u, v, u_r) factors with
+    ``u_r = u - bf/z`` — the reference's RGB-D treatment, which anchors the
+    map scale inside the window; depthless keypoints get mono factors.
+    """
+    counts = covisibility_counts(m, kf_id)
+    top_counts, top_kfs = jax.lax.top_k(counts, n_window)
+    kf_ids = jnp.concatenate([kf_id[None], top_kfs])  # (L,)
+    kf_mask = jnp.concatenate([jnp.ones((1,), bool), top_counts > 0])
+    kf_mask = kf_mask & m.kf_valid[kf_ids]
+    L = kf_ids.shape[0]
+
+    # local point set: everything observed by the local keyframes
+    obs = m.kf_obs_pt[kf_ids]  # (L, F)
+    obs_ok = m.kf_kp_valid[kf_ids] & kf_mask[:, None] & (obs >= 0)
+    obs_safe = jnp.maximum(obs, 0)
+    obs_ok = obs_ok & m.pt_valid[obs_safe]
+    member = jnp.zeros((m.N + 1,), bool).at[
+        jnp.where(obs_ok, obs, -1).reshape(-1) + 1
+    ].set(True).at[0].set(False)
+    (local_pt,) = jnp.nonzero(member[1:], size=n_local_pts, fill_value=-1)
+    pt_ok = local_pt >= 0
+    safe_pt = jnp.maximum(local_pt, 0)
+    inv = jnp.full((m.N + 1,), -1, jnp.int32).at[safe_pt + 1].set(
+        jnp.where(pt_ok, jnp.arange(n_local_pts, dtype=jnp.int32), -1)
+    )
+    # observations -> compact indices
+    pt_local_idx = inv[obs_safe + 1]  # (L, F)
+    use = obs_ok & (pt_local_idx >= 0)
+
+    kf_rows = jnp.broadcast_to(jnp.arange(L)[:, None], obs.shape)
+    var_idx = jnp.stack(
+        [kf_rows.reshape(-1), jnp.maximum(pt_local_idx, 0).reshape(-1)],
+        axis=1,
+    ).astype(jnp.int32)
+    uv = m.kf_uv[kf_ids].reshape(-1, 2)
+    depth = m.kf_depth[kf_ids].reshape(-1)
+    mtot = var_idx.shape[0]
+    use_flat = use.reshape(-1)
+    has_depth = depth > 0
+    batches = [
+        FactorBatch(
+            families=("kf", "pt"),
+            residual_fn=factors.reproj_mono,
+            res_dim=2,
+            var_idx=var_idx,
+            const={"uv": uv, "cam": jnp.broadcast_to(cam_K, (mtot, 4))},
+            info=jnp.ones((mtot,), jnp.float32),
+            valid=use_flat & ~has_depth,
+            huber=float(np.sqrt(CHI2_MONO)),
+            chi2_gate=CHI2_MONO * 2,
+        )
+    ]
+    if cam_bf is not None:
+        z = jnp.maximum(depth, 1e-3)
+        uv_ur = jnp.concatenate(
+            [uv, (uv[:, :1] - cam_bf / z[:, None])], axis=1
+        )
+        batches.append(
+            FactorBatch(
+                families=("kf", "pt"),
+                residual_fn=factors.reproj_stereo,
+                res_dim=3,
+                var_idx=var_idx,
+                const={
+                    "uv_ur": uv_ur,
+                    "cam": jnp.broadcast_to(cam_K, (mtot, 4)),
+                    "bf": jnp.broadcast_to(cam_bf, (mtot,)),
+                },
+                info=jnp.ones((mtot,), jnp.float32),
+                valid=use_flat & has_depth,
+                huber=float(np.sqrt(CHI2_STEREO)),
+                chi2_gate=CHI2_STEREO * 2,
+            )
+        )
+    else:
+        import dataclasses as _dc
+
+        batches[0] = _dc.replace(batches[0], valid=use_flat)
+
+    # gauge: fix the oldest valid local KF (lowest id), plus invalid slots
+    min_id = jnp.min(jnp.where(kf_mask, kf_ids, m.K))
+    kf_fixed = (~kf_mask) | (kf_ids == min_id) | (kf_ids == 0)
+    if cam_bf is None:
+        # monocular: depth factors don't anchor scale, so one fixed pose
+        # leaves the scale gauge free and the map shrinks/grows per solve —
+        # fix the two oldest local KFs (their baseline pins the scale), the
+        # role the reference's fixed out-of-window KFs play
+        # (Optimizer.cc:1741-1757)
+        min2_id = jnp.min(jnp.where(kf_mask & (kf_ids != min_id), kf_ids,
+                                    m.K))
+        kf_fixed = kf_fixed | (kf_ids == min2_id)
+    problem = GraphProblem(
+        families={
+            "kf": se3_family(m.kf_pose[kf_ids], kf_fixed),
+            "pt": point_family(m.pt_pos[safe_pt], ~pt_ok),
+        },
+        factors=batches,
+        eliminated="pt",
+    )
+    res = optimize(problem, iters=iters)
+
+    # write back (only non-fixed entries changed; duplicates in kf_ids are
+    # impossible: top_k returns distinct slots and kf_id scored 0 for itself)
+    new_kf_pose = m.kf_pose.at[kf_ids].set(
+        jnp.where(kf_mask[:, None], res.values["kf"], m.kf_pose[kf_ids])
+    )
+    new_pt_pos = m.pt_pos.at[safe_pt].set(
+        jnp.where(pt_ok[:, None], res.values["pt"], m.pt_pos[safe_pt])
+    )
+    stats = LbaStats(
+        cost0=res.initial_cost,
+        cost1=res.cost,
+        n_obs=jnp.sum(use),
+        n_local_kf=jnp.sum(kf_mask),
+    )
+    return m._replace(kf_pose=new_kf_pose, pt_pos=new_pt_pos), stats
+
+
+@functools.partial(jax.jit, static_argnames=("n_local", "radius"))
+def fuse_observations(m: MapState, kf_id: jax.Array, cam_K: jax.Array,
+                      n_local: int = 4096, radius: float = 4.0) -> MapState:
+    """Link map points seen by covisible keyframes to this keyframe's still
+    unassociated keypoints (the observation-completing half of
+    LocalMapping::SearchInNeighbors, LocalMapping.cc:712 — projection +
+    descriptor check; duplicate-point *replacement* happens in the loop
+    closer's fuse).  One projection + window match, then a masked scatter."""
+    from visual_sgraphs_tpu.features.match import match_window
+    from visual_sgraphs_tpu.slam.map_state import observed_mask
+
+    counts = covisibility_counts(m, kf_id)
+    _, top_kfs = jax.lax.top_k(counts, 8)
+    kf_mask = counts[top_kfs] > 0
+    pmask = observed_mask(m, top_kfs, kf_mask) & m.pt_valid
+    (ids,) = jnp.nonzero(pmask, size=n_local, fill_value=-1)
+    lvalid = ids >= 0
+    safe = jnp.maximum(ids, 0)
+    xw = m.pt_pos[safe]
+    p_cam = lie.se3_apply(m.kf_pose[kf_id], xw)
+    uv_pred = cameras.project_pinhole(cam_K, p_cam)
+    vis = (p_cam[:, 2] > 0.05) & lvalid
+    # only match into keypoints that have no point yet
+    free = m.kf_kp_valid[kf_id] & (m.kf_obs_pt[kf_id] < 0)
+    match, _ = match_window(
+        m.pt_desc[safe], uv_pred, vis,
+        m.kf_desc[kf_id], m.kf_uv[kf_id], free,
+        radius=radius,
+    )
+    ok = match >= 0
+    slot = jnp.where(ok, match, m.F - 1)
+    new_obs = m.kf_obs_pt[kf_id].at[slot].max(
+        jnp.where(ok, ids, -1).astype(jnp.int32), mode="drop"
+    )
+    return m._replace(kf_obs_pt=m.kf_obs_pt.at[kf_id].set(new_obs))
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def global_ba(
+    m: MapState,
+    cam_K: jax.Array,
+    cam_bf: jax.Array = None,
+    iters: int = 10,
+) -> tuple[MapState, LbaStats]:
+    """Full-map bundle adjustment over every keyframe and point
+    (Optimizer::GlobalBundleAdjustemnt, Optimizer.cc:45-641 — run after loop
+    closure, LoopClosing::RunGlobalBundleAdjustment :2141).  Keyframe 0 is
+    the gauge anchor.  One dense problem: all K x F observations in a single
+    factor batch, points Schur-eliminated."""
+    K, F = m.K, m.F
+    obs = m.kf_obs_pt  # (K, F)
+    obs_ok = m.kf_kp_valid & m.kf_valid[:, None] & (obs >= 0)
+    obs_safe = jnp.maximum(obs, 0)
+    obs_ok = obs_ok & m.pt_valid[obs_safe]
+
+    kf_rows = jnp.broadcast_to(jnp.arange(K)[:, None], obs.shape)
+    var_idx = jnp.stack(
+        [kf_rows.reshape(-1), obs_safe.reshape(-1)], axis=1
+    ).astype(jnp.int32)
+    uv = m.kf_uv.reshape(-1, 2)
+    depth = m.kf_depth.reshape(-1)
+    mtot = var_idx.shape[0]
+    use_flat = obs_ok.reshape(-1)
+    has_depth = depth > 0
+    batches = [
+        FactorBatch(
+            families=("kf", "pt"),
+            residual_fn=factors.reproj_mono,
+            res_dim=2,
+            var_idx=var_idx,
+            const={"uv": uv, "cam": jnp.broadcast_to(cam_K, (mtot, 4))},
+            info=jnp.ones((mtot,), jnp.float32),
+            valid=use_flat & ~has_depth if cam_bf is not None else use_flat,
+            huber=float(np.sqrt(CHI2_MONO)),
+            chi2_gate=CHI2_MONO * 2,
+        )
+    ]
+    if cam_bf is not None:
+        z = jnp.maximum(depth, 1e-3)
+        uv_ur = jnp.concatenate([uv, (uv[:, :1] - cam_bf / z[:, None])],
+                                axis=1)
+        batches.append(
+            FactorBatch(
+                families=("kf", "pt"),
+                residual_fn=factors.reproj_stereo,
+                res_dim=3,
+                var_idx=var_idx,
+                const={
+                    "uv_ur": uv_ur,
+                    "cam": jnp.broadcast_to(cam_K, (mtot, 4)),
+                    "bf": jnp.broadcast_to(cam_bf, (mtot,)),
+                },
+                info=jnp.ones((mtot,), jnp.float32),
+                valid=use_flat & has_depth,
+                huber=float(np.sqrt(CHI2_STEREO)),
+                chi2_gate=CHI2_STEREO * 2,
+            )
+        )
+    kf_fixed = (~m.kf_valid) | (jnp.arange(K) == 0)
+    problem = GraphProblem(
+        families={
+            "kf": se3_family(m.kf_pose, kf_fixed),
+            "pt": point_family(m.pt_pos, ~m.pt_valid),
+        },
+        factors=batches,
+        eliminated="pt",
+    )
+    res = optimize(problem, iters=iters)
+    stats = LbaStats(
+        cost0=res.initial_cost,
+        cost1=res.cost,
+        n_obs=jnp.sum(obs_ok),
+        n_local_kf=jnp.sum(m.kf_valid),
+    )
+    return m._replace(
+        kf_pose=jnp.where(kf_fixed[:, None], m.kf_pose, res.values["kf"]),
+        pt_pos=jnp.where(m.pt_valid[:, None], res.values["pt"], m.pt_pos),
+    ), stats
+
+
+# ---------------------------------------------------------------------------
+# culling
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def cull_keyframes(m: MapState, kf_id: jax.Array,
+                   redundancy: float = 0.9) -> MapState:
+    """Drop local keyframes ≥90% of whose points are seen by ≥3 other
+    keyframes (KeyFrameCulling, LocalMapping.cc:898).  Checks the covisible
+    neighbours of ``kf_id``; keyframe 0 and the newest keyframe survive.
+
+    One batched pass: per-point observation counts once, then per-candidate
+    redundancy ratios as a masked gather — no per-KF loop.
+    """
+    nobs = point_obs_count(m)  # (N,)
+    counts = covisibility_counts(m, kf_id)
+    candidate = (counts > 0) & m.kf_valid
+    candidate = candidate.at[0].set(False).at[kf_id].set(False)
+
+    obs = m.kf_obs_pt  # (K, F)
+    ok = m.kf_kp_valid & (obs >= 0)
+    safe = jnp.maximum(obs, 0)
+    ok = ok & m.pt_valid[safe]
+    redundant_obs = ok & (nobs[safe] >= 4)  # seen by >=3 others + this one
+    n_obs_kf = jnp.sum(ok, axis=1)
+    n_red = jnp.sum(redundant_obs, axis=1)
+    ratio = n_red / jnp.maximum(n_obs_kf, 1)
+    drop = candidate & (ratio > redundancy) & (n_obs_kf > 0)
+    # never drop more than one keyframe per pass (the reference culls inside
+    # a loop with fresh counts each time; one-at-a-time keeps counts honest)
+    first_drop = jnp.argmax(drop)
+    do = jnp.any(drop)
+    kf_valid = m.kf_valid.at[first_drop].set(
+        jnp.where(do, False, m.kf_valid[first_drop])
+    )
+    return m._replace(kf_valid=kf_valid)
+
+
+@jax.jit
+def cull_points(m: MapState, min_obs: int = 2) -> MapState:
+    """Drop points observed by fewer than ``min_obs`` keyframes once they are
+    old enough (MapPointCulling, LocalMapping.cc:341 — the found/visible
+    ratio test is kept in the stats for later use)."""
+    nobs = point_obs_count(m)
+    age = m.n_kf - m.pt_first_kf  # keyframes since creation
+    bad = m.pt_valid & (age >= 3) & (nobs < min_obs)
+    pt_valid = m.pt_valid & ~bad
+    # unlink culled points from keyframes
+    obs = m.kf_obs_pt
+    linked_bad = (obs >= 0) & bad[jnp.maximum(obs, 0)]
+    return m._replace(
+        pt_valid=pt_valid,
+        kf_obs_pt=jnp.where(linked_bad, -1, obs),
+    )

@@ -1,0 +1,296 @@
+"""Host-side SLAM facade: the System-equivalent single-writer update loop.
+
+Mirrors the reference's ``VS_GRAPHS::System`` + ``Tracking`` state machine
+(System.cc:39-230, Tracking.cc:1874-2393) but with no threads and no locks:
+one Python loop alternates jitted device programs (track -> [insert KF ->
+create points -> local BA -> cull]) on an immutable map pytree.  Only small
+scalars (inlier counts, tracking state) are read back per frame for
+control-flow decisions.
+
+Tracking states: OK / RECENTLY_LOST / LOST with motion-model prediction and
+a fresh-map restart on unrecoverable loss (the Atlas multi-map elastic
+recovery, Tracking.cc:2733 CreateMapInAtlas — restart variant here;
+relocalization against the keyframe database attaches in the place-recognition
+round).
+"""
+
+from __future__ import annotations
+
+import enum
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visual_sgraphs_tpu.config import Sensor, SystemConfig
+from visual_sgraphs_tpu.core import lie
+from visual_sgraphs_tpu.slam import mapping, tracking
+from visual_sgraphs_tpu.slam.frame import FrameObs, make_frame_obs
+from visual_sgraphs_tpu.slam.map_state import MapState, empty_map
+
+
+class TrackState(enum.Enum):
+    NOT_INITIALIZED = 0
+    OK = 1
+    RECENTLY_LOST = 2
+    LOST = 3
+
+
+# jitted host-loop helpers (eager composite ops pay a per-primitive compile
+# round-trip on the remote TPU compiler — one fused program each instead)
+_predict_pose = jax.jit(
+    lambda vel, last: lie.se3_normalize(lie.se3_multiply(vel, last))
+)
+_velocity_of = jax.jit(
+    lambda new, last: lie.se3_normalize(
+        lie.se3_multiply(new, lie.se3_inverse(last))
+    )
+)
+_inverse_pose = jax.jit(lie.se3_inverse)
+
+
+class SlamSystem:
+    """Single-session SLAM over an RGB-D / monocular stream."""
+
+    def __init__(self, config: SystemConfig = SystemConfig()):
+        self.cfg = config
+        self.cam_K = jnp.asarray(config.camera.K)
+        self.cam_bf = jnp.asarray(config.camera.bf, jnp.float32)
+        self.map: MapState = empty_map(config.capacity, config.orb)
+        self.state = TrackState.NOT_INITIALIZED
+        self.last_pose = lie.se3_identity()
+        self.velocity = lie.se3_identity()  # T_curr·T_last⁻¹ motion model
+        self.ref_kf = jnp.asarray(0, jnp.int32)
+        self.frames_since_kf = 0
+        self.last_kf_inliers = 1
+        self.peak_inliers = 1
+        # (timestamp, T_cw, tracked) — tracked=False rows are placeholders
+        # from before initialization / while lost (the reference simply emits
+        # no pose then; evaluation associates timestamps, so untracked frames
+        # must be excludable)
+        self.trajectory: list[tuple[float, np.ndarray, bool]] = []
+        self.scenegraph = None  # attached by api layer when semantics are on
+        self.loop_closer = None  # attached by api layer (place recognition)
+
+    # ------------------------------------------------------------------ api
+
+    def track_rgbd(self, gray, depth, timestamp: float) -> np.ndarray:
+        """Process one RGB-D frame; returns T_cw (7,) (System::TrackRGBD)."""
+        depth = jnp.asarray(depth)
+        frame = make_frame_obs(
+            jnp.asarray(gray), depth, timestamp,
+            self.cfg.camera, self.cfg.orb,
+        )
+        # kept for the scene-graph pipeline, which consumes the KF's dense
+        # cloud (the reference stores it on the KeyFrame, KeyFrame.h:516)
+        self._last_depth_img = depth
+        return self._track(frame)
+
+    def track_mono(self, gray, timestamp: float) -> np.ndarray:
+        frame = make_frame_obs(
+            jnp.asarray(gray), None, timestamp, self.cfg.camera, self.cfg.orb
+        )
+        return self._track(frame)
+
+    def track_stereo(self, gray_l, gray_r, timestamp: float) -> np.ndarray:
+        """Rectified stereo pair (System::TrackStereo, System.cc:274)."""
+        from visual_sgraphs_tpu.slam.frame import make_frame_obs_stereo
+
+        frame = make_frame_obs_stereo(
+            jnp.asarray(gray_l), jnp.asarray(gray_r), timestamp,
+            self.cfg.camera, self.cfg.orb,
+        )
+        return self._track(frame)
+
+    # ------------------------------------------------------------- internals
+
+    def _track(self, frame: FrameObs) -> np.ndarray:
+        if self.state == TrackState.NOT_INITIALIZED:
+            self._initialize(frame)
+            self._record(frame)
+            return np.asarray(self.last_pose)
+
+        T_pred = _predict_pose(self.velocity, self.last_pose)
+        t = self.cfg.tracking
+        res = tracking.track_frame(
+            self.map, frame, T_pred, self.ref_kf, self.cam_K,
+            n_window=self.cfg.mapping.local_window,
+            fx_radius=t.match_radius_coarse,
+            fine_radius=t.match_radius_fine,
+        )
+        n_inl = int(res.n_inliers)
+
+        if n_inl < t.min_inliers_ok:
+            # wide-window retry from the last good pose — the
+            # TrackReferenceKeyFrame / short-reloc fallback
+            # (Tracking.cc:2790, :3687)
+            res = tracking.track_frame(
+                self.map, frame, self.last_pose, self.ref_kf, self.cam_K,
+                n_window=self.cfg.mapping.local_window,
+                fx_radius=t.match_radius_coarse * 4.0,
+                fine_radius=t.match_radius_fine * 2.0,
+            )
+            n_inl = int(res.n_inliers)
+
+        if n_inl >= t.min_inliers_ok:
+            recovered = self.state != TrackState.OK
+            self.state = TrackState.OK
+            new_pose = lie.se3_normalize(res.pose)
+            self.velocity = _velocity_of(new_pose, self.last_pose)
+            self.last_pose = new_pose
+            self.map = tracking.update_point_stats(self.map, res)
+            self.peak_inliers = max(self.peak_inliers, n_inl)
+            if recovered or self._need_keyframe(n_inl):
+                self._insert_keyframe(frame, res)
+        else:
+            # hold position rather than dead-reckoning an unreliable
+            # velocity; re-tracking resumes from the last good pose
+            # (Tracking.cc:2024-2098 RECENTLY_LOST with time budget)
+            self.state = (
+                TrackState.RECENTLY_LOST
+                if self.state in (TrackState.OK, TrackState.RECENTLY_LOST)
+                else TrackState.LOST
+            )
+            self.velocity = lie.se3_identity()
+            # DBoW2-candidate + PnP relocalization (Tracking.cc:3687)
+            if self.loop_closer is not None:
+                if self.loop_closer.relocalize(self, frame):
+                    self.state = TrackState.OK
+
+        self._record(frame)
+        return np.asarray(self.last_pose)
+
+    def _initialize(self, frame: FrameObs):
+        depth_ok = bool(jnp.any(frame.depth > 0))
+        if self.cfg.sensor in (Sensor.RGBD, Sensor.IMU_RGBD, Sensor.STEREO,
+                               Sensor.IMU_STEREO) and depth_ok:
+            # StereoInitialization (Tracking.cc:2396): first frame is the
+            # origin keyframe; all depth-valid keypoints become map points
+            pose = lie.se3_identity()
+            slot_pt = jnp.full((frame.uv.shape[0],), -1, jnp.int32)
+            self.map, kf = mapping.insert_keyframe(
+                self.map, frame, pose, slot_pt, self.cam_K
+            )
+            n_pts = int(self.map.n_pt)
+            if n_pts >= 100:
+                self.ref_kf = kf
+                self.last_pose = pose
+                self.state = TrackState.OK
+                self.frames_since_kf = 0
+                self.last_kf_inliers = n_pts
+        else:
+            # monocular init handled by the two-view bootstrapper
+            from visual_sgraphs_tpu.slam import mono_init
+
+            done = mono_init.try_initialize(self, frame)
+            if done:
+                self.state = TrackState.OK
+
+    def _need_keyframe(self, n_inliers: int) -> bool:
+        """NeedNewKeyFrame (Tracking.cc:3133) reduced to its load-bearing
+        conditions: minimum spacing, decay of tracked inliers relative to
+        the *peak since the last keyframe* (new points raise the count after
+        insertion, so the baseline must follow), absolute floor, and a hard
+        maximum interval."""
+        t = self.cfg.tracking
+        self.frames_since_kf += 1
+        if self.frames_since_kf < t.kf_min_interval:
+            return False
+        if self.frames_since_kf >= t.kf_max_interval:
+            return True
+        if n_inliers < 3 * t.min_inliers_ok:
+            return True
+        return n_inliers < t.kf_min_tracked_ratio * self.peak_inliers
+
+    def _insert_keyframe(self, frame: FrameObs, res: tracking.TrackResult):
+        self.map, kf = mapping.insert_keyframe(
+            self.map, frame, res.pose, res.slot_pt, self.cam_K
+        )
+        if self.cfg.sensor in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR):
+            self.map = mapping.create_points_mono(self.map, kf, self.cam_K)
+        self.map = mapping.fuse_observations(self.map, kf, self.cam_K)
+
+        # scene graph first (plane detection + association for this KF), so
+        # its plane-KF factors can join this keyframe's local BA — the
+        # reference's GeoSeg thread feeds planes that the *next* LBA picks up
+        # (GeometricSegmentation.cc:29, Optimizer.cc:2087)
+        if self.scenegraph is not None:
+            self.scenegraph.on_keyframe(
+                self, kf, frame,
+                depth_img=getattr(self, "_last_depth_img", None),
+            )
+        sg_ba = (
+            self.scenegraph is not None
+            and self.cfg.scenegraph.plane_kf_factor
+            and int(self.scenegraph.state.n_obs) > 0
+        )
+        if sg_ba:
+            from visual_sgraphs_tpu.scenegraph.joint_ba import (
+                scenegraph_local_ba,
+            )
+
+            self.map, self.scenegraph.state, _ = scenegraph_local_ba(
+                self.map, self.scenegraph.state, kf, self.cam_K,
+                self.cam_bf,
+                n_window=self.cfg.mapping.local_window,
+                iters=self.cfg.mapping.lba_iters,
+            )
+        else:
+            self.map, _ = mapping.local_ba(
+                self.map, kf, self.cam_K, self.cam_bf,
+                n_window=self.cfg.mapping.local_window,
+                iters=self.cfg.mapping.lba_iters,
+            )
+        self.map = mapping.cull_points(self.map)
+        self.map = mapping.cull_keyframes(
+            self.map, kf, self.cfg.mapping.kf_cull_redundancy
+        )
+        self.ref_kf = kf
+        self.frames_since_kf = 0
+        self.last_kf_inliers = max(int(res.n_inliers), 1)
+        self.peak_inliers = self.last_kf_inliers
+        # keep tracking's reference pose consistent with the adjusted map
+        self.last_pose = self.map.kf_pose[kf]
+        if self.loop_closer is not None:
+            if self.loop_closer.on_keyframe(self, kf, frame):
+                # the whole map moved: resume from the corrected pose
+                self.last_pose = self.map.kf_pose[kf]
+
+    def _record(self, frame: FrameObs):
+        self.trajectory.append(
+            (
+                float(frame.timestamp),
+                np.asarray(self.last_pose),
+                self.state == TrackState.OK,
+            )
+        )
+
+    # ------------------------------------------------------------- exports
+
+    def trajectory_tum(self) -> str:
+        """TUM-format trajectory (timestamp tx ty tz qx qy qz qw) of camera
+        poses in world frame (System::SaveTrajectoryTUM)."""
+        lines = []
+        for ts, T_cw, tracked in self.trajectory:
+            if not tracked:
+                continue
+            T_wc = np.asarray(_inverse_pose(jnp.asarray(T_cw)))
+            qw, qx, qy, qz, tx, ty, tz = T_wc
+            lines.append(
+                f"{ts:.6f} {tx:.7f} {ty:.7f} {tz:.7f} "
+                f"{qx:.7f} {qy:.7f} {qz:.7f} {qw:.7f}"
+            )
+        return "\n".join(lines) + "\n"
+
+    def positions(self) -> np.ndarray:
+        """(T, 3) camera centers in world frame (all frames; mask with
+        ``tracked_mask()`` for evaluation)."""
+        out = []
+        for _, T_cw, _tracked in self.trajectory:
+            T_wc = np.asarray(_inverse_pose(jnp.asarray(T_cw)))
+            out.append(T_wc[4:7])
+        return np.stack(out) if out else np.zeros((0, 3))
+
+    def tracked_mask(self) -> np.ndarray:
+        """(T,) bool — frames with a real pose estimate."""
+        return np.asarray([t for _, _, t in self.trajectory], bool)
