@@ -123,6 +123,30 @@ class SceneGraphConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class PlaceConfig:
+    """Place recognition / loop closing knobs (the reference hard-codes
+    these inside LoopClosing.cc / KeyFrameDatabase.cc)."""
+
+    vocab_branching: int = 8
+    vocab_levels: int = 3  # 8^3 = 512 words for the online-trained vocab
+    vocab_min_keyframes: int = 4  # lazily train once this many KFs exist
+    vocab_train_max_desc: int = 20000
+    top_n_candidates: int = 3
+    min_gap: int = 10  # candidate must be this many KF slots away
+    loop_score_ratio: float = 0.75  # vs best covisible score (minScore rule)
+    consistency: int = 2  # consecutive-KF consistency before verification
+    loop_min_inliers: int = 20
+    loop_inlier_thresh_3d: float = 0.12  # metric Sim3-RANSAC gate (m)
+    essential_min_weight: int = 30
+    essential_max_edges: int = 512
+    pgo_iters: int = 20  # reference: Optimizer.cc:2682
+    gba_after_loop: bool = True
+    gba_iters: int = 10  # reference: LoopClosing.cc:2158
+    reloc_min_inliers: int = 30
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
 class ImuConfig:
     """IMU noise / extrinsics (the settings yaml's IMU block)."""
 
@@ -180,11 +204,16 @@ class EnvDatabase:
 @dataclasses.dataclass(frozen=True)
 class SystemConfig:
     sensor: int = Sensor.RGBD
+    loop_closing: bool = False  # attach the LoopCloser stage
     camera: CameraConfig = CameraConfig()
     orb: OrbConfig = OrbConfig()
     tracking: TrackingConfig = TrackingConfig()
     mapping: MappingConfig = MappingConfig()
     capacity: CapacityConfig = CapacityConfig()
     scenegraph: SceneGraphConfig = SceneGraphConfig()
+    place: PlaceConfig = PlaceConfig()
     imu: ImuConfig = ImuConfig()
     env: EnvDatabase = EnvDatabase()
+
+    def sensor_is_monocular(self) -> bool:
+        return self.sensor in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR)

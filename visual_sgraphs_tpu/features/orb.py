@@ -122,6 +122,10 @@ def _gather_patches(img: jax.Array, rc: jax.Array, radius: int) -> jax.Array:
     """(K, 2r+1, 2r+1) patches centered at rc, clamped to the image."""
     size = 2 * radius + 1
     h, w = img.shape
+    if h < size or w < size:  # tiny top pyramid levels: edge-pad up
+        img = jnp.pad(img, ((0, max(size - h, 0)), (0, max(size - w, 0))),
+                      mode="edge")
+        h, w = img.shape
     r0 = jnp.clip(rc[:, 0] - radius, 0, h - size)
     c0 = jnp.clip(rc[:, 1] - radius, 0, w - size)
     return jax.vmap(

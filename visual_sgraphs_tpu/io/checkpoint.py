@@ -49,17 +49,22 @@ def save_checkpoint(path: str, system, scenegraph=None, loop_db=None):
 
     lc = loop_db if loop_db is not None else getattr(system, "loop_closer",
                                                     None)
-    if lc is not None:
-        arrays["db.words"] = np.asarray(lc.db.kf_words)
-        arrays["db.weights"] = np.asarray(lc.db.kf_weights)
-        arrays["db.valid"] = np.asarray(lc.db.kf_valid)
-        manifest["db_n_words"] = lc.db.n_words
+    if lc is not None and lc.db is not None:
+        arrays["db.bow"] = np.asarray(lc.db.bow)
+        arrays["db.has_word"] = np.asarray(lc.db.has_word)
+        arrays["db.valid"] = np.asarray(lc.db.valid)
+        if lc.vocab is not None:
+            arrays["vocab.idf"] = np.asarray(lc.vocab.idf)
+            manifest["vocab_levels"] = len(lc.vocab.centers)
+            for i, c in enumerate(lc.vocab.centers):
+                arrays[f"vocab.level_{i}"] = np.asarray(c)
 
     traj = system.trajectory
     if traj:
-        arrays["traj.ts"] = np.asarray([t for t, _, _ in traj])
-        arrays["traj.pose"] = np.stack([p for _, p, _ in traj])
-        arrays["traj.tracked"] = np.asarray([k for _, _, k in traj], bool)
+        arrays["traj.ts"] = np.asarray([t for t, _, _, _ in traj])
+        arrays["traj.ref"] = np.asarray([r for _, r, _, _ in traj], np.int32)
+        arrays["traj.rel"] = np.stack([p for _, _, p, _ in traj])
+        arrays["traj.tracked"] = np.asarray([k for _, _, _, k in traj], bool)
     arrays["state.last_pose"] = np.asarray(system.last_pose)
     arrays["state.velocity"] = np.asarray(system.velocity)
     arrays["state.ref_kf"] = np.asarray(system.ref_kf)
@@ -104,18 +109,29 @@ def load_checkpoint(path: str, system, scenegraph=None, loop_closer=None):
 
     lc = loop_closer if loop_closer is not None else getattr(
         system, "loop_closer", None)
-    if lc is not None and "db.words" in data:
-        lc.db = lc.db._replace(
-            kf_words=jnp.asarray(data["db.words"]),
-            kf_weights=jnp.asarray(data["db.weights"]),
-            kf_valid=jnp.asarray(data["db.valid"]),
+    if lc is not None and "db.bow" in data:
+        from visual_sgraphs_tpu.place.database import PlaceDB
+        from visual_sgraphs_tpu.place.vocab import VocabTree
+
+        lc.db = PlaceDB(
+            bow=jnp.asarray(data["db.bow"]),
+            has_word=jnp.asarray(data["db.has_word"]),
+            valid=jnp.asarray(data["db.valid"]),
         )
+        if "vocab.idf" in data:
+            lc.vocab = VocabTree(
+                centers=tuple(
+                    jnp.asarray(data[f"vocab.level_{i}"])
+                    for i in range(manifest["vocab_levels"])
+                ),
+                idf=jnp.asarray(data["vocab.idf"]),
+            )
 
     if "traj.ts" in data:
         system.trajectory = [
-            (float(t), p, bool(k))
-            for t, p, k in zip(data["traj.ts"], data["traj.pose"],
-                               data["traj.tracked"])
+            (float(t), int(r), p, bool(k))
+            for t, r, p, k in zip(data["traj.ts"], data["traj.ref"],
+                                  data["traj.rel"], data["traj.tracked"])
         ]
     system.last_pose = jnp.asarray(data["state.last_pose"])
     system.velocity = jnp.asarray(data["state.velocity"])

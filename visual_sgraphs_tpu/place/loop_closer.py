@@ -1,0 +1,270 @@
+"""Loop closing + relocalization orchestration (the LoopClosing thread).
+
+Replaces ``LoopClosing::Run`` (orb_slam3/src/LoopClosing.cc:86) and
+``Tracking::Relocalization`` (Tracking.cc:3687) with a host-side stage the
+single-writer loop calls after each keyframe: BoW query -> temporal
+consistency -> batched descriptor matching -> Sim3 RANSAC verification ->
+essential-graph correction -> (optional) global BA.  Every heavy step is a
+jitted fixed-shape device program; the host only reads back scalars.
+
+The vocabulary can be supplied pre-trained (``fit_vocab`` offline) or is
+trained lazily from the first keyframes' own descriptors — same-session
+loop closure and relocalization only need a vocabulary that separates this
+scene's descriptors (the reference ships a universal ORBvoc for the same
+purpose).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visual_sgraphs_tpu.config import PlaceConfig
+from visual_sgraphs_tpu.core import lie
+from visual_sgraphs_tpu.features.match import match_nn_ratio
+from visual_sgraphs_tpu.place import database as db_mod
+from visual_sgraphs_tpu.place import pgo, vocab as vocab_mod
+from visual_sgraphs_tpu.place.sim3_ransac import ransac_sim3
+from visual_sgraphs_tpu.slam import mapping
+from visual_sgraphs_tpu.slam.frame import FrameObs
+from visual_sgraphs_tpu.slam.map_state import (
+    MapState,
+    covisibility_counts,
+)
+from visual_sgraphs_tpu.slam.tracking import _pose_only_solve
+
+
+# --------------------------------------------------------------- device ops
+
+
+@partial(jax.jit, static_argnames=("fix_scale",))
+def _loop_geometry(m: MapState, cur: jax.Array, cand: jax.Array,
+                   key: jax.Array, inlier_thresh: float,
+                   fix_scale: bool = False):
+    """Geometric loop verification between two keyframes.
+
+    Matches descriptors (SearchByBoW equivalent as one dense NN pass,
+    ORBmatcher.cc), lifts both sides' associated map points into their own
+    camera frames, and solves the relative Sim3 by batched RANSAC
+    (Sim3Solver.cc).  Returns (S_cand_cur (8,), n_inliers ()).
+    """
+    desc_a, desc_b = m.kf_desc[cur], m.kf_desc[cand]
+    obs_a, obs_b = m.kf_obs_pt[cur], m.kf_obs_pt[cand]
+    va = m.kf_kp_valid[cur] & (obs_a >= 0)
+    vb = m.kf_kp_valid[cand] & (obs_b >= 0)
+    match, _ = match_nn_ratio(desc_a, va, desc_b, vb, ratio=0.85,
+                              angle_a=m.kf_angle[cur],
+                              angle_b=m.kf_angle[cand])
+    ok = match >= 0
+    slot_b = jnp.maximum(match, 0)
+    pt_a = jnp.maximum(obs_a, 0)
+    pt_b = jnp.maximum(obs_b[slot_b], 0)
+    ok = ok & m.pt_valid[pt_a] & m.pt_valid[pt_b]
+    # points in each keyframe's camera frame (drift cancels locally)
+    p_a = lie.se3_apply(m.kf_pose[cur], m.pt_pos[pt_a])
+    p_b = lie.se3_apply(m.kf_pose[cand], m.pt_pos[pt_b])
+    res = ransac_sim3(p_a, p_b, ok, key, inlier_thresh=inlier_thresh,
+                      fix_scale=fix_scale)
+    return res.S_ab, res.n_inliers
+
+
+@jax.jit
+def _reloc_attempt(m: MapState, frame: FrameObs, cand: jax.Array,
+                   cam_K: jax.Array):
+    """Relocalization against one candidate keyframe: descriptor NN to the
+    candidate's map points, then the 4x10 motion-only LM with chi2 gating
+    (the reference's MLPnP+PoseOptimization loop, Tracking.cc:3732+).
+    Returns (pose (7,), n_inliers ())."""
+    obs_b = m.kf_obs_pt[cand]
+    vb = m.kf_kp_valid[cand] & (obs_b >= 0)
+    match, _ = match_nn_ratio(frame.desc, frame.valid, m.kf_desc[cand], vb,
+                              ratio=0.8)
+    ok = match >= 0
+    pt = jnp.maximum(obs_b[jnp.maximum(match, 0)], 0)
+    ok = ok & m.pt_valid[pt]
+    xw = m.pt_pos[pt]
+    pose, inl = _pose_only_solve(
+        m.kf_pose[cand], xw, frame.uv, ok, cam_K, rounds=4, iters=10
+    )
+    return pose, jnp.sum(ok & inl).astype(jnp.int32)
+
+
+@jax.jit
+def _exclusion_mask(m: MapState, kf: jax.Array, min_gap: int = 10):
+    """Covisible-or-recent keyframes barred from candidacy
+    (DetectNBestCandidates excludes the connected set)."""
+    covis = covisibility_counts(m, kf) > 0
+    slots = jnp.arange(m.K)
+    recent = jnp.abs(slots - kf) < min_gap
+    return covis | recent | ~m.kf_valid, covis
+
+
+_backfill_bow = jax.jit(
+    lambda tree, desc, valid: jax.vmap(
+        lambda d, v: vocab_mod.bow_vector(tree, d, v)
+    )(desc, valid)
+)
+
+
+class LoopCloser:
+    """Host stage: place recognition, loop correction, relocalization."""
+
+    def __init__(self, cfg: PlaceConfig = PlaceConfig(),
+                 vocab: vocab_mod.VocabTree | None = None):
+        self.cfg = cfg
+        self.vocab = vocab
+        self.db: db_mod.PlaceDB | None = None
+        self._consistent_cand = -1
+        self._consistent_count = 0
+        self._rng = np.random.default_rng(cfg.seed)
+        self.n_loops_closed = 0
+        self.last_loop: tuple[int, int] | None = None
+
+    # ------------------------------------------------------------ internal
+
+    def _ensure_vocab(self, m: MapState) -> bool:
+        """Lazily train the vocabulary from the map's own descriptors once
+        enough keyframes exist, then backfill the database."""
+        if self.vocab is not None:
+            if self.db is None:
+                self.db = db_mod.empty_db(m.K, self.vocab.n_words)
+            return True
+        n_kf = int(m.n_kf)
+        if n_kf < self.cfg.vocab_min_keyframes:
+            return False
+        desc = np.asarray(m.kf_desc[:n_kf]).reshape(-1, 32)
+        valid = np.asarray(m.kf_kp_valid[:n_kf]).reshape(-1)
+        desc = desc[valid]
+        if desc.shape[0] < 512:
+            return False
+        cap = self.cfg.vocab_train_max_desc
+        if desc.shape[0] > cap:
+            desc = desc[self._rng.choice(desc.shape[0], cap, replace=False)]
+        self.vocab = vocab_mod.fit_vocab(
+            desc, branching=self.cfg.vocab_branching,
+            levels=self.cfg.vocab_levels, seed=self.cfg.seed,
+        )
+        self.db = db_mod.empty_db(m.K, self.vocab.n_words)
+        # backfill every existing keyframe
+        bows = _backfill_bow(self.vocab, m.kf_desc, m.kf_kp_valid)
+        kf_valid = np.asarray(m.kf_valid)
+        for k in range(n_kf):
+            if kf_valid[k]:
+                self.db = db_mod.add_keyframe(
+                    self.db, jnp.asarray(k, jnp.int32), bows[k]
+                )
+        return True
+
+    # ---------------------------------------------------------------- api
+
+    def on_keyframe(self, system, kf, frame: FrameObs) -> bool:
+        """Detect + close a loop at keyframe ``kf``.  Returns True if the
+        map was corrected (caller must refresh its cached poses)."""
+        m: MapState = system.map
+        if not self._ensure_vocab(m):
+            return False
+        kf = jnp.asarray(kf, jnp.int32)
+        bow = vocab_mod.bow_vector(self.vocab, m.kf_desc[kf],
+                                   m.kf_kp_valid[kf])
+        exclude, covis = _exclusion_mask(m, kf, self.cfg.min_gap)
+        # keep the database's validity in sync with keyframe culling
+        self.db = self.db._replace(valid=self.db.valid & m.kf_valid)
+        cand_ids, cand_scores = db_mod.detect_candidates(
+            self.db, bow, exclude, top_n=self.cfg.top_n_candidates
+        )
+        self.db = db_mod.add_keyframe(self.db, kf, bow)
+
+        # score must rival the best covisible score (LoopClosing's minScore)
+        ref_score = float(db_mod.best_covisible_score(self.db, bow, covis))
+        cand_ids = np.asarray(cand_ids)
+        cand_scores = np.asarray(cand_scores)
+        best = -1
+        for cid, sc in zip(cand_ids, cand_scores):
+            if cid >= 0 and sc >= self.cfg.loop_score_ratio * max(
+                ref_score, 1e-9
+            ):
+                best = int(cid)
+                break
+        if best < 0:
+            self._consistent_count = 0
+            self._consistent_cand = -1
+            return False
+
+        # temporal consistency: the same region must fire in consecutive
+        # keyframes (the reference's consistent-group check,
+        # LoopClosing.cc:NewDetectCommonRegions)
+        if (
+            self._consistent_cand >= 0
+            and abs(best - self._consistent_cand) <= 5
+        ):
+            self._consistent_count += 1
+        else:
+            self._consistent_count = 1
+        self._consistent_cand = best
+        if self._consistent_count < self.cfg.consistency:
+            return False
+
+        # geometric verification
+        key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31)))
+        fix_scale = not system.cfg.sensor_is_monocular()
+        S_cand_cur, n_inl = _loop_geometry(
+            m, kf, jnp.asarray(best, jnp.int32), key,
+            self.cfg.loop_inlier_thresh_3d, fix_scale=fix_scale,
+        )
+        if int(n_inl) < self.cfg.loop_min_inliers:
+            return False
+
+        # ---- correct: essential graph + point propagation (CorrectLoop)
+        edges = pgo.build_covis_edges(
+            m, min_weight=self.cfg.essential_min_weight,
+            max_edges=self.cfg.essential_max_edges,
+        )
+        fixed = jnp.zeros((m.K,), bool).at[best].set(True)
+        result = pgo.optimize_essential_graph(
+            m.kf_pose, m.kf_valid, edges,
+            loop_i=jnp.asarray(best, jnp.int32), loop_j=kf,
+            S_loop_ji=lie.sim3_inverse(S_cand_cur),
+            fixed=fixed, iters=self.cfg.pgo_iters,
+        )
+        system.map = pgo.correct_map(m, result)
+        # fuse duplicate landmarks in the welded region (SearchAndFuse)
+        system.map = mapping.fuse_observations(
+            system.map, kf, system.cam_K
+        )
+        if self.cfg.gba_after_loop:
+            system.map, _ = mapping.global_ba(
+                system.map, system.cam_K, system.cam_bf,
+                iters=self.cfg.gba_iters,
+            )
+        self.n_loops_closed += 1
+        self.last_loop = (int(kf), best)
+        self._consistent_count = 0
+        self._consistent_cand = -1
+        return True
+
+    def relocalize(self, system, frame: FrameObs) -> bool:
+        """Recover tracking from a lost state (Tracking::Relocalization)."""
+        m: MapState = system.map
+        if self.vocab is None or self.db is None:
+            return False
+        bow = vocab_mod.bow_vector(self.vocab, frame.desc, frame.valid)
+        exclude = ~m.kf_valid
+        cand_ids, _ = db_mod.detect_candidates(
+            self.db, bow, exclude, min_common_ratio=0.5,
+            top_n=self.cfg.top_n_candidates,
+        )
+        for cid in np.asarray(cand_ids):
+            if cid < 0:
+                continue
+            pose, n_inl = _reloc_attempt(
+                m, frame, jnp.asarray(int(cid), jnp.int32), system.cam_K
+            )
+            if int(n_inl) >= self.cfg.reloc_min_inliers:
+                system.last_pose = lie.se3_normalize(pose)
+                system.ref_kf = jnp.asarray(int(cid), jnp.int32)
+                system.velocity = lie.se3_identity()
+                return True
+        return False

@@ -1,0 +1,157 @@
+"""Essential-graph (Sim3 pose-graph) optimization and loop-closure map
+correction.
+
+Replaces ``Optimizer::OptimizeEssentialGraph`` (orb_slam3/src/Optimizer.cc:
+2456-2735) and the correction/propagation half of ``LoopClosing::CorrectLoop``
+(LoopClosing.cc:949-1180).  The reference walks spanning-tree + covisibility
++ loop edges per keyframe into a g2o Sim3 graph; here the edge set is a
+fixed-capacity batch mined from the covisibility matrix in one masked top-k,
+and the solve is the shared batched LM engine over a ``sim3`` family.
+
+Map-point correction follows CorrectLoop's rule: a point is moved with its
+reference keyframe's correction, X_w' = S_new_k^-1 . S_old_k . X_w
+(LoopClosing.cc:1010-1035).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from visual_sgraphs_tpu.core import lie
+from visual_sgraphs_tpu.optim import factors
+from visual_sgraphs_tpu.optim.graph import (
+    FactorBatch,
+    GraphProblem,
+    sim3_family,
+)
+from visual_sgraphs_tpu.optim.solve import optimize
+from visual_sgraphs_tpu.slam.map_state import MapState
+
+
+class EssentialEdges(NamedTuple):
+    idx: jax.Array  # (E, 2) int32 keyframe pairs (i < j)
+    valid: jax.Array  # (E,) bool
+
+
+@partial(jax.jit, static_argnames=("max_edges",))
+def build_covis_edges(m: MapState, min_weight: int = 30,
+                      max_edges: int = 512) -> EssentialEdges:
+    """Mine the essential-graph edge set: covisibility pairs above
+    ``min_weight`` shared points (Optimizer.cc:2559 uses weight>=100 for
+    covisibility edges) plus consecutive-keyframe links standing in for the
+    spanning tree.  One one-hot matmul yields the full covisibility matrix;
+    top-k over the upper triangle keeps the strongest ``max_edges`` pairs.
+    """
+    K, N = m.K, m.N
+    obs = jnp.where(m.kf_kp_valid & m.kf_valid[:, None], m.kf_obs_pt, -1)
+    member = jnp.zeros((K, N + 1), jnp.float32).at[
+        jnp.arange(K)[:, None], obs + 1
+    ].set(1.0)[:, 1:]  # (K, N) one-hot membership
+    covis = jax.lax.dot_general(
+        member, member, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (K, K) shared-point counts
+
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    upper = j_idx > i_idx
+    consecutive = (j_idx == i_idx + 1) & m.kf_valid[None, :] & \
+        m.kf_valid[:, None]
+    strong = upper & (covis >= min_weight)
+    # consecutive edges get a large pseudo-weight so top-k always keeps them
+    score = jnp.where(strong, covis, 0.0) + jnp.where(consecutive, 1e6, 0.0)
+    flat = score.reshape(-1)
+    top_vals, top_flat = jax.lax.top_k(flat, max_edges)
+    ei = top_flat // K
+    ej = top_flat % K
+    ok = top_vals > 0
+    return EssentialEdges(
+        idx=jnp.stack([ei, ej], axis=1).astype(jnp.int32),
+        valid=ok,
+    )
+
+
+class PgoResult(NamedTuple):
+    kf_pose: jax.Array  # (K, 7) corrected T_cw
+    S_old: jax.Array  # (K, 8) pre-correction Sim3 (scale-1 embed of T_cw)
+    S_new: jax.Array  # (K, 8) optimized Sim3 poses
+    cost0: jax.Array
+    cost: jax.Array
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def optimize_essential_graph(
+    kf_pose: jax.Array,
+    kf_valid: jax.Array,
+    edges: EssentialEdges,
+    loop_i: jax.Array,
+    loop_j: jax.Array,
+    S_loop_ji: jax.Array,
+    fixed: jax.Array,
+    iters: int = 20,
+) -> PgoResult:
+    """Sim3 pose-graph solve.
+
+    Non-loop edges measure the *current* relative pose (they anchor local
+    shape); the loop edge carries the Sim3 from geometric verification.  The
+    reference's schedule is 20 iterations (Optimizer.cc:2682-2684).
+    ``fixed``: (K,) bool gauge keyframes (the loop-candidate side).
+    """
+    K = kf_pose.shape[0]
+    S_old = jax.vmap(lie.sim3_from_se3)(kf_pose)  # (K, 8), scale 1
+
+    ei, ej = edges.idx[:, 0], edges.idx[:, 1]
+    rel = jax.vmap(
+        lambda i, j: lie.sim3_multiply(S_old[j], lie.sim3_inverse(S_old[i]))
+    )(ei, ej)
+    e_valid = edges.valid & kf_valid[ei] & kf_valid[ej]
+
+    # append the loop edge with a higher information weight
+    var_idx = jnp.concatenate(
+        [edges.idx, jnp.stack([loop_i, loop_j])[None].astype(jnp.int32)]
+    )
+    rel_all = jnp.concatenate([rel, S_loop_ji[None]])
+    valid_all = jnp.concatenate([e_valid, jnp.ones((1,), bool)])
+    info = jnp.concatenate(
+        [jnp.ones(ei.shape[0], jnp.float32),
+         jnp.full((1,), 100.0, jnp.float32)]
+    )
+
+    batch = FactorBatch(
+        families=("kf", "kf"),
+        residual_fn=factors.relative_sim3,
+        res_dim=7,
+        var_idx=var_idx,
+        const={"S_ji": rel_all},
+        info=info,
+        valid=valid_all,
+    )
+    fam = sim3_family(S_old, fixed=fixed | ~kf_valid)
+    problem = GraphProblem(families={"kf": fam}, factors=[batch])
+    res = optimize(problem, iters=iters)
+    S_new = jax.vmap(lie.sim3_normalize)(res.values["kf"])
+    kf_new = jax.vmap(lie.sim3_to_se3)(S_new)
+    kf_new = jnp.where(kf_valid[:, None], kf_new, kf_pose)
+    return PgoResult(kf_pose=kf_new, S_old=S_old, S_new=S_new,
+                     cost0=res.initial_cost, cost=res.cost)
+
+
+@jax.jit
+def correct_map(m: MapState, pgo: PgoResult) -> MapState:
+    """Apply the pose-graph correction to keyframe poses and map points.
+
+    Points move with their reference keyframe: X_w' = S_new^-1(S_old(X_w))
+    — exactly LoopClosing::CorrectLoop's eigP3Dw correction
+    (LoopClosing.cc:1010-1035), with pt_first_kf as the reference KF.
+    """
+    ref = jnp.clip(m.pt_first_kf, 0, m.K - 1)
+    S_corr = jax.vmap(
+        lambda a, b: lie.sim3_multiply(lie.sim3_inverse(a), b)
+    )(pgo.S_new, pgo.S_old)  # (K, 8) world-space correction per KF
+    new_pos = jax.vmap(lie.sim3_apply)(S_corr[ref], m.pt_pos)
+    new_pos = jnp.where(m.pt_valid[:, None], new_pos, m.pt_pos)
+    return m._replace(kf_pose=pgo.kf_pose, pt_pos=new_pos)

@@ -64,13 +64,21 @@ class SlamSystem:
         self.frames_since_kf = 0
         self.last_kf_inliers = 1
         self.peak_inliers = 1
-        # (timestamp, T_cw, tracked) — tracked=False rows are placeholders
-        # from before initialization / while lost (the reference simply emits
-        # no pose then; evaluation associates timestamps, so untracked frames
-        # must be excludable)
-        self.trajectory: list[tuple[float, np.ndarray, bool]] = []
+        # (timestamp, ref_kf_slot, T_rel = T_cw·T_kf_cw⁻¹, tracked) — frame
+        # poses are stored *relative to their reference keyframe* and
+        # recomposed against the current (possibly loop-corrected) KF poses
+        # at export, exactly like the reference's mlRelativeFramePoses
+        # bookkeeping (Tracking.cc:2361-2380, System::SaveTrajectoryTUM).
+        # tracked=False rows are placeholders from before initialization /
+        # while lost (evaluation associates timestamps, so untracked frames
+        # must be excludable).
+        self.trajectory: list[tuple[float, int, np.ndarray, bool]] = []
         self.scenegraph = None  # attached by api layer when semantics are on
-        self.loop_closer = None  # attached by api layer (place recognition)
+        self.loop_closer = None  # place recognition (LoopClosing thread role)
+        if config.loop_closing:
+            from visual_sgraphs_tpu.place.loop_closer import LoopCloser
+
+            self.loop_closer = LoopCloser(config.place)
 
     # ------------------------------------------------------------------ api
 
@@ -257,21 +265,44 @@ class SlamSystem:
                 self.last_pose = self.map.kf_pose[kf]
 
     def _record(self, frame: FrameObs):
+        ref = int(self.ref_kf)
+        T_rel = np.asarray(
+            _velocity_of(self.last_pose, self.map.kf_pose[self.ref_kf])
+        )
         self.trajectory.append(
             (
                 float(frame.timestamp),
-                np.asarray(self.last_pose),
+                ref,
+                T_rel,
                 self.state == TrackState.OK,
             )
         )
 
     # ------------------------------------------------------------- exports
 
+    def frame_poses(self) -> np.ndarray:
+        """(T, 7) current-best T_cw per recorded frame: relative poses
+        recomposed against the *current* keyframe estimates, so loop/GBA
+        corrections retroactively improve the whole trajectory (the
+        reference's SaveTrajectoryTUM recomposition)."""
+        if not self.trajectory:
+            return np.zeros((0, 7), np.float32)
+        kf_pose = self.map.kf_pose
+        refs = jnp.asarray([r for _, r, _, _ in self.trajectory], jnp.int32)
+        rels = jnp.asarray(np.stack([T for _, _, T, _ in self.trajectory]))
+        out = jax.vmap(
+            lambda rel, ref: lie.se3_normalize(
+                lie.se3_multiply(rel, kf_pose[ref])
+            )
+        )(rels, refs)
+        return np.asarray(out)
+
     def trajectory_tum(self) -> str:
         """TUM-format trajectory (timestamp tx ty tz qx qy qz qw) of camera
         poses in world frame (System::SaveTrajectoryTUM)."""
         lines = []
-        for ts, T_cw, tracked in self.trajectory:
+        poses = self.frame_poses()
+        for (ts, _, _, tracked), T_cw in zip(self.trajectory, poses):
             if not tracked:
                 continue
             T_wc = np.asarray(_inverse_pose(jnp.asarray(T_cw)))
@@ -285,12 +316,12 @@ class SlamSystem:
     def positions(self) -> np.ndarray:
         """(T, 3) camera centers in world frame (all frames; mask with
         ``tracked_mask()`` for evaluation)."""
-        out = []
-        for _, T_cw, _tracked in self.trajectory:
-            T_wc = np.asarray(_inverse_pose(jnp.asarray(T_cw)))
-            out.append(T_wc[4:7])
-        return np.stack(out) if out else np.zeros((0, 3))
+        poses = self.frame_poses()
+        if poses.shape[0] == 0:
+            return np.zeros((0, 3))
+        T_wc = np.asarray(jax.vmap(lie.se3_inverse)(jnp.asarray(poses)))
+        return T_wc[:, 4:7]
 
     def tracked_mask(self) -> np.ndarray:
         """(T,) bool — frames with a real pose estimate."""
-        return np.asarray([t for _, _, t in self.trajectory], bool)
+        return np.asarray([t for _, _, _, t in self.trajectory], bool)
