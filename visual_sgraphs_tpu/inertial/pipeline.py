@@ -1,0 +1,199 @@
+"""Host-side IMU pipeline: sample buffering, pose prediction, the
+initialization schedule, and VI local BA dispatch.
+
+Replaces the inertial plumbing spread across the reference's Tracking
+(PreintegrateIMU Tracking.cc:1701, PredictStateIMU :1819) and LocalMapping
+(InitializeIMU/ScaleRefinement schedule, LocalMapping.cc:175-238): one stage
+owned by the single-writer loop.  All numeric work is jitted; the host only
+buffers numpy samples and reads back scalars.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visual_sgraphs_tpu.config import ImuConfig
+from visual_sgraphs_tpu.core import lie
+from visual_sgraphs_tpu.inertial import init as iinit
+from visual_sgraphs_tpu.inertial import vi_ba
+from visual_sgraphs_tpu.inertial.factors import GRAVITY
+from visual_sgraphs_tpu.inertial.preintegration import (
+    Preintegrated,
+    identity_preint,
+    merge,
+    preintegrate,
+)
+
+# static capacity of one inter-frame preintegration batch (at 200 Hz IMU and
+# 30 fps video this is ~7 samples/frame; 64 covers dropped frames)
+FRAME_IMU_CAP = 64
+
+
+@partial(jax.jit, static_argnames=("noise_gyro", "noise_acc"))
+def _preintegrate_window(omega, acc, dt, valid, bias_g, bias_a,
+                         noise_gyro, noise_acc):
+    return preintegrate(omega, acc, dt, valid, bias_g, bias_a,
+                        noise_gyro, noise_acc)
+
+
+@jax.jit
+def predict_state(T_cw_i, v_i, pre: Preintegrated, T_bc):
+    """IMU dead-reckoned next pose/velocity (Tracking::PredictStateIMU):
+    p_j = p_i + vΔt + ½gΔt² + R_wb ΔP, etc.  Returns (T_cw_j, v_j)."""
+    T_wb_i = lie.se3_inverse(lie.se3_multiply(T_bc, T_cw_i))
+    q_wb_i, p_i = T_wb_i[:4], T_wb_i[4:7]
+    R_wb_i = lie.quat_to_matrix(q_wb_i)
+    g = jnp.asarray([0.0, 0.0, -GRAVITY], T_cw_i.dtype)
+    dt = pre.dt
+    p_j = p_i + v_i * dt + 0.5 * g * dt * dt + R_wb_i @ pre.dP
+    v_j = v_i + g * dt + R_wb_i @ pre.dV
+    q_wb_j = lie.quat_normalize(lie.quat_multiply(q_wb_i, pre.dR))
+    T_wb_j = lie.se3_from_rt(q_wb_j, p_j)
+    T_cw_j = lie.se3_multiply(
+        lie.se3_inverse(T_bc), lie.se3_inverse(T_wb_j)
+    )
+    return lie.se3_normalize(T_cw_j), v_j
+
+
+class ImuPipeline:
+    """Owns IMU sample buffers + per-keyframe inertial state."""
+
+    def __init__(self, cfg: ImuConfig, max_keyframes: int,
+                 init_min_kfs: int = 8, fix_scale: bool = True):
+        self.cfg = cfg
+        self.T_bc = jnp.asarray(cfg.T_bc, jnp.float32)
+        self.state = vi_ba.empty_imu_state(max_keyframes)
+        self.initialized = False
+        self.init_min_kfs = init_min_kfs
+        self.fix_scale = fix_scale
+        self.q_wg = None  # gravity rotation found at init (diagnostics)
+        self.scale = 1.0
+        # rolling buffers
+        self._frame_samples: list[tuple[np.ndarray, np.ndarray, float]] = []
+        self._since_kf: Preintegrated = identity_preint()
+        self._last_t: float | None = None
+        self._cur_bias_g = jnp.zeros((3,), jnp.float32)
+        self._cur_bias_a = jnp.zeros((3,), jnp.float32)
+        self.vel = jnp.zeros((3,), jnp.float32)  # current frame velocity
+
+    # ----------------------------------------------------------- ingestion
+
+    def add_samples(self, omega: np.ndarray, acc: np.ndarray,
+                    t: np.ndarray) -> None:
+        """Queue raw samples (rad/s, m/s², s) arriving before the next
+        frame (the GrabImuData buffer, ros_*_inertial.cc)."""
+        for w, a, ti in zip(np.atleast_2d(omega), np.atleast_2d(acc),
+                            np.atleast_1d(t)):
+            self._frame_samples.append((w, a, float(ti)))
+
+    def preintegrate_frame(self, t_frame: float) -> Preintegrated | None:
+        """Integrate everything queued up to ``t_frame`` → one inter-frame
+        preintegration; also folded into the running KF-to-KF window
+        (Tracking::PreintegrateIMU)."""
+        take = [s for s in self._frame_samples if s[2] <= t_frame]
+        self._frame_samples = [s for s in self._frame_samples
+                               if s[2] > t_frame]
+        if not take:
+            return None
+        if self._last_t is None:
+            self._last_t = take[0][2]
+        T = FRAME_IMU_CAP
+        omega = np.zeros((T, 3), np.float32)
+        acc = np.zeros((T, 3), np.float32)
+        dt = np.zeros((T,), np.float32)
+        valid = np.zeros((T,), bool)
+        t_prev = self._last_t
+        for i, (w, a, ti) in enumerate(take[:T]):
+            omega[i], acc[i] = w, a
+            dt[i] = max(ti - t_prev, 0.0)
+            valid[i] = dt[i] > 0
+            t_prev = ti
+        self._last_t = t_frame
+        pre = _preintegrate_window(
+            jnp.asarray(omega), jnp.asarray(acc), jnp.asarray(dt),
+            jnp.asarray(valid), self._cur_bias_g, self._cur_bias_a,
+            self.cfg.noise_gyro, self.cfg.noise_acc,
+        )
+        self._since_kf = merge(self._since_kf, pre)
+        return pre
+
+    # ------------------------------------------------------------ keyframes
+
+    def on_keyframe(self, kf: int) -> None:
+        """Bind the accumulated KF-to-KF preintegration to slot ``kf`` and
+        restart the window."""
+        self.state = vi_ba.set_kf_imu(
+            self.state, jnp.asarray(kf, jnp.int32), self.vel,
+            self._cur_bias_g, self._cur_bias_a,
+            self._since_kf, jnp.asarray(float(self._since_kf.dt) > 1e-4),
+        )
+        self._since_kf = identity_preint(self._cur_bias_g, self._cur_bias_a)
+
+    def try_initialize(self, system) -> bool:
+        """Gravity/scale/velocity/bias solve once enough keyframes exist
+        (LocalMapping::InitializeIMU).  Rescales+rotates the map in place."""
+        if self.initialized:
+            return True
+        m = system.map
+        n_kf = int(m.n_kf)
+        if n_kf < self.init_min_kfs:
+            return False
+        n = min(n_kf, self.state.vel.shape[0])
+        res = iinit.inertial_init(
+            m.kf_pose[:n], m.kf_valid[:n],
+            jax.tree.map(lambda a: a[:n], self.state.preint),
+            self.state.preint_valid[:n],
+            self.T_bc, fix_scale=self.fix_scale,
+        )
+        if not bool(jnp.isfinite(res.cost)) or float(res.cost) >= float(
+            res.cost0
+        ):
+            return False
+        scale = float(res.scale)
+        if not self.fix_scale and not (0.1 < scale < 10.0):
+            return False  # bad-scale guard (LoopClosing.cc:138-149 analog)
+        system.map = iinit.apply_scaled_rotation(m, res.q_wg, res.scale)
+        vel = iinit.rotate_velocities(res.vel, res.q_wg, res.scale)
+        st = self.state
+        st = st._replace(
+            vel=st.vel.at[:n].set(vel),
+            bias_g=jnp.broadcast_to(res.bias_g, st.bias_g.shape),
+            bias_a=jnp.broadcast_to(res.bias_a, st.bias_a.shape),
+        )
+        self.state = st
+        self._cur_bias_g = res.bias_g
+        self._cur_bias_a = res.bias_a
+        self.vel = vel[min(n, vel.shape[0]) - 1]
+        self.q_wg = res.q_wg
+        self.scale = scale
+        # keep tracking's reference pose consistent with the rescaled map
+        system.last_pose = system.map.kf_pose[system.ref_kf]
+        self.initialized = True
+        return True
+
+    def local_ba(self, system, kf: int, n_window: int = 10,
+                 iters: int = 8) -> None:
+        """Visual-inertial windowed BA after each KF (LocalInertialBA)."""
+        system.map, self.state, _ = vi_ba.vi_local_ba(
+            system.map, self.state, jnp.asarray(kf, jnp.int32),
+            system.cam_K, system.cam_bf, self.T_bc,
+            walk_gyro=self.cfg.walk_gyro, walk_acc=self.cfg.walk_acc,
+            n_window=n_window, iters=iters,
+        )
+        self.vel = self.state.vel[kf]
+        self._cur_bias_g = self.state.bias_g[kf]
+        self._cur_bias_a = self.state.bias_a[kf]
+
+    # ------------------------------------------------------------ prediction
+
+    def predict(self, T_cw_last, pre: Preintegrated | None):
+        """Pose prediction for the incoming frame; None if not ready."""
+        if not self.initialized or pre is None:
+            return None
+        T_pred, v_pred = predict_state(T_cw_last, self.vel, pre, self.T_bc)
+        self.vel = v_pred
+        return T_pred

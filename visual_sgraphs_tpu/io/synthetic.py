@@ -159,6 +159,61 @@ class SyntheticScene:
             )
             yield gray, depth, T_wc, i / fps
 
+    def frames_with_imu(self, n_frames: int, kind: str = "arc",
+                        fps: float = 30.0, imu_rate: float = 200.0,
+                        g_world=(0.0, 9.81, 0.0), seed: int = 0,
+                        noise_gyro: float = 0.0, noise_acc: float = 0.0):
+        """Yield (gray, depth, T_wc, ts, (omega, acc, t)) — ideal IMU
+        samples between consecutive frames, derived from a densely sampled
+        version of the same trajectory.
+
+        ``g_world``: true gravity in the synthetic world frame (the camera
+        convention is y-down, so gravity default is +y).  Gyro is the body
+        rate ω_b = log(R_iᵀR_{i+1})/δt; the accelerometer returns specific
+        force f_b = R_wbᵀ(a_w − g_w).
+        """
+        sub = max(int(round(imu_rate / fps)), 1)
+        dense_n = (n_frames - 1) * sub + 1
+        # dense trajectory with matching endpoints: reuse the same param s
+        dense = self.trajectory(dense_n, kind)  # (D, 7) T_wc
+        dt = 1.0 / (fps * sub)
+        q = dense[:, :4]
+        p = dense[:, 4:7]
+        # body rates by finite differences
+        q_j = jnp.asarray(q)
+        rel = jax.vmap(
+            lambda a, b: lie.so3_log(
+                lie.quat_multiply(lie.quat_conjugate(a), b)
+            )
+        )(q_j[:-1], q_j[1:])
+        omega = np.asarray(rel) / dt  # (D-1, 3) body frame
+        a_w = np.zeros_like(p)
+        a_w[1:-1] = (p[2:] - 2 * p[1:-1] + p[:-2]) / (dt * dt)
+        a_w[0], a_w[-1] = a_w[1], a_w[-2]
+        g = np.asarray(g_world, np.float32)
+        R = np.asarray(jax.vmap(lie.quat_to_matrix)(q_j))  # (D, 3, 3) R_wb
+        f_b = np.einsum("dij,dj->di", R.transpose(0, 2, 1), a_w - g[None])
+        rng = np.random.default_rng(seed)
+        if noise_gyro:
+            omega = omega + rng.normal(size=omega.shape) * noise_gyro
+        if noise_acc:
+            f_b = f_b + rng.normal(size=f_b.shape) * noise_acc
+
+        traj = dense[::sub]
+        for i, T_wc in enumerate(traj):
+            gray, depth, _ = render(
+                jnp.asarray(T_wc), self.planes, self.cam_K, self.h, self.w
+            )
+            ts = i / fps
+            if i == 0:
+                samples = (np.zeros((0, 3)), np.zeros((0, 3)),
+                           np.zeros((0,)))
+            else:
+                lo, hi = (i - 1) * sub, i * sub
+                t_s = (np.arange(lo, hi) + 1) * dt
+                samples = (omega[lo:hi], f_b[lo:hi], t_s)
+            yield gray, depth, T_wc, ts, samples
+
     def frames_with_semantics(self, n_frames: int, kind: str = "arc",
                               fps: float = 30.0):
         traj = self.trajectory(n_frames, kind)

@@ -67,6 +67,12 @@ def associate_and_update(
     """Associate detected planes against the map table; update matches,
     create the rest (Utils::associatePlanes, Utils.cc:413-536 +
     GeoSemHelpers::create/updateMapPlane)."""
+    dt = sg.pl_coeffs.dtype
+    det_coeffs = det_coeffs.astype(dt)
+    det_centroid = det_centroid.astype(dt)
+    det_npts = det_npts.astype(dt)
+    det_votes = det_votes.astype(dt)
+    det_local = det_local.astype(dt)
     P = sg.P
     for i in range(n_det):
         coeffs = det_coeffs[i]

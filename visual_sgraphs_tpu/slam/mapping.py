@@ -104,7 +104,9 @@ def insert_keyframe(
         pt_visible=m.pt_visible.at[safe_ids].add(alloc.astype(jnp.int32)),
         pt_found=m.pt_found.at[safe_ids].add(alloc.astype(jnp.int32)),
         n_kf=m.n_kf + 1,
-        n_pt=jnp.minimum(m.n_pt + jnp.sum(new_mask), m.N),
+        n_pt=jnp.minimum(
+            m.n_pt + jnp.sum(new_mask.astype(jnp.int32)), m.N
+        ).astype(jnp.int32),
     )
     return new_m, k
 
@@ -178,7 +180,9 @@ def create_points_mono(m: MapState, kf_id: jax.Array,
         ).at[nb, slot_n].set(
             jnp.where(alloc, new_ids, m.kf_obs_pt[nb, slot_n]), mode="drop"
         ),
-        n_pt=jnp.minimum(m.n_pt + jnp.sum(good), m.N),
+        n_pt=jnp.minimum(
+            m.n_pt + jnp.sum(good.astype(jnp.int32)), m.N
+        ).astype(jnp.int32),
     )
 
 

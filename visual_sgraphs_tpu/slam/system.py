@@ -79,11 +79,24 @@ class SlamSystem:
             from visual_sgraphs_tpu.place.loop_closer import LoopCloser
 
             self.loop_closer = LoopCloser(config.place)
+        self.imu = None  # inertial pipeline (IMU_* sensors)
+        if config.sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO,
+                             Sensor.IMU_RGBD):
+            from visual_sgraphs_tpu.inertial import ImuPipeline
+
+            self.imu = ImuPipeline(
+                config.imu, config.capacity.max_keyframes,
+                fix_scale=not config.sensor_is_monocular(),
+            )
 
     # ------------------------------------------------------------------ api
 
-    def track_rgbd(self, gray, depth, timestamp: float) -> np.ndarray:
-        """Process one RGB-D frame; returns T_cw (7,) (System::TrackRGBD)."""
+    def track_rgbd(self, gray, depth, timestamp: float,
+                   imu=None) -> np.ndarray:
+        """Process one RGB-D frame; returns T_cw (7,) (System::TrackRGBD).
+
+        ``imu``: optional (omega (T,3), acc (T,3), t (T,)) samples since the
+        previous frame (the vImuMeas argument of the reference's Track*)."""
         depth = jnp.asarray(depth)
         frame = make_frame_obs(
             jnp.asarray(gray), depth, timestamp,
@@ -92,15 +105,16 @@ class SlamSystem:
         # kept for the scene-graph pipeline, which consumes the KF's dense
         # cloud (the reference stores it on the KeyFrame, KeyFrame.h:516)
         self._last_depth_img = depth
-        return self._track(frame)
+        return self._track(frame, imu)
 
-    def track_mono(self, gray, timestamp: float) -> np.ndarray:
+    def track_mono(self, gray, timestamp: float, imu=None) -> np.ndarray:
         frame = make_frame_obs(
             jnp.asarray(gray), None, timestamp, self.cfg.camera, self.cfg.orb
         )
-        return self._track(frame)
+        return self._track(frame, imu)
 
-    def track_stereo(self, gray_l, gray_r, timestamp: float) -> np.ndarray:
+    def track_stereo(self, gray_l, gray_r, timestamp: float,
+                     imu=None) -> np.ndarray:
         """Rectified stereo pair (System::TrackStereo, System.cc:274)."""
         from visual_sgraphs_tpu.slam.frame import make_frame_obs_stereo
 
@@ -108,17 +122,29 @@ class SlamSystem:
             jnp.asarray(gray_l), jnp.asarray(gray_r), timestamp,
             self.cfg.camera, self.cfg.orb,
         )
-        return self._track(frame)
+        return self._track(frame, imu)
 
     # ------------------------------------------------------------- internals
 
-    def _track(self, frame: FrameObs) -> np.ndarray:
+    def _track(self, frame: FrameObs, imu=None) -> np.ndarray:
+        frame_pre = None
+        if self.imu is not None:
+            if imu is not None:
+                self.imu.add_samples(*imu)
+            frame_pre = self.imu.preintegrate_frame(float(frame.timestamp))
+
         if self.state == TrackState.NOT_INITIALIZED:
             self._initialize(frame)
             self._record(frame)
             return np.asarray(self.last_pose)
 
-        T_pred = _predict_pose(self.velocity, self.last_pose)
+        T_pred = None
+        if self.imu is not None:
+            # IMU dead-reckoned prediction once initialized
+            # (Tracking::PredictStateIMU, Tracking.cc:1819)
+            T_pred = self.imu.predict(self.last_pose, frame_pre)
+        if T_pred is None:
+            T_pred = _predict_pose(self.velocity, self.last_pose)
         t = self.cfg.tracking
         res = tracking.track_frame(
             self.map, frame, T_pred, self.ref_kf, self.cam_K,
@@ -232,6 +258,11 @@ class SlamSystem:
             and self.cfg.scenegraph.plane_kf_factor
             and int(self.scenegraph.state.n_obs) > 0
         )
+        if self.imu is not None:
+            # bind the KF-to-KF preintegration, run the IMU-init schedule,
+            # then visual-inertial windowed BA (LocalMapping.cc:142,175-238)
+            self.imu.on_keyframe(int(kf))
+            self.imu.try_initialize(self)
         if sg_ba:
             from visual_sgraphs_tpu.scenegraph.joint_ba import (
                 scenegraph_local_ba,
@@ -241,6 +272,11 @@ class SlamSystem:
                 self.map, self.scenegraph.state, kf, self.cam_K,
                 self.cam_bf,
                 n_window=self.cfg.mapping.local_window,
+                iters=self.cfg.mapping.lba_iters,
+            )
+        elif self.imu is not None and self.imu.initialized:
+            self.imu.local_ba(
+                self, int(kf), n_window=self.cfg.mapping.local_window,
                 iters=self.cfg.mapping.lba_iters,
             )
         else:
