@@ -61,10 +61,17 @@ def save_checkpoint(path: str, system, scenegraph=None, loop_db=None):
 
     traj = system.trajectory
     if traj:
-        arrays["traj.ts"] = np.asarray([t for t, _, _, _ in traj])
-        arrays["traj.ref"] = np.asarray([r for _, r, _, _ in traj], np.int32)
-        arrays["traj.rel"] = np.stack([p for _, _, p, _ in traj])
-        arrays["traj.tracked"] = np.asarray([k for _, _, _, k in traj], bool)
+        arrays["traj.ts"] = np.asarray([t for t, _, _, _, _ in traj])
+        arrays["traj.epoch"] = np.asarray(
+            [e for _, e, _, _, _ in traj], np.int32
+        )
+        arrays["traj.ref"] = np.asarray(
+            [r for _, _, r, _, _ in traj], np.int32
+        )
+        arrays["traj.rel"] = np.stack([p for _, _, _, p, _ in traj])
+        arrays["traj.tracked"] = np.asarray(
+            [k for _, _, _, _, k in traj], bool
+        )
     arrays["state.last_pose"] = np.asarray(system.last_pose)
     arrays["state.velocity"] = np.asarray(system.velocity)
     arrays["state.ref_kf"] = np.asarray(system.ref_kf)
@@ -129,9 +136,11 @@ def load_checkpoint(path: str, system, scenegraph=None, loop_closer=None):
 
     if "traj.ts" in data:
         system.trajectory = [
-            (float(t), int(r), p, bool(k))
-            for t, r, p, k in zip(data["traj.ts"], data["traj.ref"],
-                                  data["traj.rel"], data["traj.tracked"])
+            (float(t), int(e), int(r), p, bool(k))
+            for t, e, r, p, k in zip(
+                data["traj.ts"], data["traj.epoch"], data["traj.ref"],
+                data["traj.rel"], data["traj.tracked"],
+            )
         ]
     system.last_pose = jnp.asarray(data["state.last_pose"])
     system.velocity = jnp.asarray(data["state.velocity"])

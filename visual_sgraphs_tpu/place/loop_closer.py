@@ -109,6 +109,28 @@ _backfill_bow = jax.jit(
 )
 
 
+def reloc_in_map(m: MapState, db: db_mod.PlaceDB,
+                 vocab: vocab_mod.VocabTree, frame: FrameObs,
+                 cam_K, min_inliers: int, top_n: int = 3):
+    """Relocalize ``frame`` against an arbitrary (map, database, vocab)
+    triple — used both for in-map relocalization and for Atlas merge /
+    resume detection against stashed maps.  Returns (pose (7,), kf_id) or
+    None."""
+    bow = vocab_mod.bow_vector(vocab, frame.desc, frame.valid)
+    cand_ids, _ = db_mod.detect_candidates(
+        db, bow, ~m.kf_valid, min_common_ratio=0.5, top_n=top_n
+    )
+    for cid in np.asarray(cand_ids):
+        if cid < 0:
+            continue
+        pose, n_inl = _reloc_attempt(
+            m, frame, jnp.asarray(int(cid), jnp.int32), cam_K
+        )
+        if int(n_inl) >= min_inliers:
+            return lie.se3_normalize(pose), int(cid)
+    return None
+
+
 class LoopCloser:
     """Host stage: place recognition, loop correction, relocalization."""
 
@@ -124,6 +146,25 @@ class LoopCloser:
         self.last_loop: tuple[int, int] | None = None
 
     # ------------------------------------------------------------ internal
+
+    def reset(self) -> None:
+        """Fresh database/vocab for a new Atlas map (CreateMapInAtlas)."""
+        self.vocab = None
+        self.db = None
+        self._consistent_cand = -1
+        self._consistent_count = 0
+
+    def rebuild_db(self, m: MapState) -> None:
+        """Recompute every keyframe's BoW row (after an Atlas merge)."""
+        assert self.vocab is not None
+        self.db = db_mod.empty_db(m.K, self.vocab.n_words)
+        bows = _backfill_bow(self.vocab, m.kf_desc, m.kf_kp_valid)
+        kf_valid = np.asarray(m.kf_valid)
+        for k in range(int(m.n_kf)):
+            if k < m.K and kf_valid[k]:
+                self.db = db_mod.add_keyframe(
+                    self.db, jnp.asarray(k, jnp.int32), bows[k]
+                )
 
     def _ensure_vocab(self, m: MapState) -> bool:
         """Lazily train the vocabulary from the map's own descriptors once
@@ -247,24 +288,16 @@ class LoopCloser:
 
     def relocalize(self, system, frame: FrameObs) -> bool:
         """Recover tracking from a lost state (Tracking::Relocalization)."""
-        m: MapState = system.map
         if self.vocab is None or self.db is None:
             return False
-        bow = vocab_mod.bow_vector(self.vocab, frame.desc, frame.valid)
-        exclude = ~m.kf_valid
-        cand_ids, _ = db_mod.detect_candidates(
-            self.db, bow, exclude, min_common_ratio=0.5,
-            top_n=self.cfg.top_n_candidates,
+        hit = reloc_in_map(
+            system.map, self.db, self.vocab, frame, system.cam_K,
+            self.cfg.reloc_min_inliers, top_n=self.cfg.top_n_candidates,
         )
-        for cid in np.asarray(cand_ids):
-            if cid < 0:
-                continue
-            pose, n_inl = _reloc_attempt(
-                m, frame, jnp.asarray(int(cid), jnp.int32), system.cam_K
-            )
-            if int(n_inl) >= self.cfg.reloc_min_inliers:
-                system.last_pose = lie.se3_normalize(pose)
-                system.ref_kf = jnp.asarray(int(cid), jnp.int32)
-                system.velocity = lie.se3_identity()
-                return True
-        return False
+        if hit is None:
+            return False
+        pose, cid = hit
+        system.last_pose = pose
+        system.ref_kf = jnp.asarray(cid, jnp.int32)
+        system.velocity = lie.se3_identity()
+        return True

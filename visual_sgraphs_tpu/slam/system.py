@@ -64,15 +64,23 @@ class SlamSystem:
         self.frames_since_kf = 0
         self.last_kf_inliers = 1
         self.peak_inliers = 1
-        # (timestamp, ref_kf_slot, T_rel = T_cw·T_kf_cw⁻¹, tracked) — frame
-        # poses are stored *relative to their reference keyframe* and
+        # (timestamp, epoch, ref_kf_slot, T_rel = T_cw·T_kf_cw⁻¹, tracked) —
+        # frame poses are stored *relative to their reference keyframe* and
         # recomposed against the current (possibly loop-corrected) KF poses
         # at export, exactly like the reference's mlRelativeFramePoses
         # bookkeeping (Tracking.cc:2361-2380, System::SaveTrajectoryTUM).
+        # ``epoch`` identifies which Atlas map the reference KF lives in.
         # tracked=False rows are placeholders from before initialization /
         # while lost (evaluation associates timestamps, so untracked frames
         # must be excludable).
-        self.trajectory: list[tuple[float, int, np.ndarray, bool]] = []
+        self.trajectory: list[tuple[float, int, int, np.ndarray, bool]] = []
+        # Atlas multi-map: stashed inactive maps for elastic recovery
+        # (Tracking::CreateMapInAtlas, LoopClosing::MergeLocal)
+        from visual_sgraphs_tpu.slam.atlas import Atlas
+
+        self.atlas = Atlas()
+        self.epoch = 0
+        self.lost_frames = 0
         self.scenegraph = None  # attached by api layer when semantics are on
         self.loop_closer = None  # place recognition (LoopClosing thread role)
         if config.loop_closing:
@@ -169,6 +177,7 @@ class SlamSystem:
         if n_inl >= t.min_inliers_ok:
             recovered = self.state != TrackState.OK
             self.state = TrackState.OK
+            self.lost_frames = 0
             new_pose = lie.se3_normalize(res.pose)
             self.velocity = _velocity_of(new_pose, self.last_pose)
             self.last_pose = new_pose
@@ -186,13 +195,155 @@ class SlamSystem:
                 else TrackState.LOST
             )
             self.velocity = lie.se3_identity()
+            self.lost_frames += 1
             # DBoW2-candidate + PnP relocalization (Tracking.cc:3687)
+            relocated = False
             if self.loop_closer is not None:
-                if self.loop_closer.relocalize(self, frame):
+                relocated = self.loop_closer.relocalize(self, frame)
+                if not relocated and self.atlas.stashed:
+                    relocated = self._relocalize_in_stashed(frame)
+                if relocated:
                     self.state = TrackState.OK
+                    self.lost_frames = 0
+            if not relocated:
+                budget = int(
+                    t.recently_lost_budget * self.cfg.camera.fps
+                )
+                if self.lost_frames >= budget:
+                    # unrecoverable: stash this map and start a fresh one
+                    # (CreateMapInAtlas, Tracking.cc:2733)
+                    self._new_map()
 
         self._record(frame)
         return np.asarray(self.last_pose)
+
+    # --------------------------------------------------- Atlas multi-map
+
+    def _new_map(self):
+        """Stash the active map and restart tracking on a fresh one."""
+        if int(self.map.n_kf) >= 5:
+            db = vocab = None
+            if self.loop_closer is not None:
+                db, vocab = self.loop_closer.db, self.loop_closer.vocab
+            self.atlas.stash(self.epoch, self.map, db, vocab)
+            self.epoch = self.atlas.n_maps_created
+        self.map = empty_map(self.cfg.capacity, self.cfg.orb)
+        if self.loop_closer is not None:
+            self.loop_closer.reset()
+        if self.imu is not None:
+            from visual_sgraphs_tpu.inertial import ImuPipeline
+
+            self.imu = ImuPipeline(
+                self.cfg.imu, self.cfg.capacity.max_keyframes,
+                fix_scale=not self.cfg.sensor_is_monocular(),
+            )
+        self.state = TrackState.NOT_INITIALIZED
+        self.last_pose = lie.se3_identity()
+        self.velocity = lie.se3_identity()
+        self.ref_kf = jnp.asarray(0, jnp.int32)
+        self.lost_frames = 0
+        self.peak_inliers = 1
+
+    def _relocalize_in_stashed(self, frame: FrameObs) -> bool:
+        """Try relocalizing in a stashed map; on success the stashed map
+        becomes active again (the cheap path of MergeLocal: the young map
+        is stashed back and the camera resumes in the old map)."""
+        from visual_sgraphs_tpu.place.loop_closer import reloc_in_map
+
+        for i in reversed(range(len(self.atlas.stashed))):
+            epoch, m_old, db, vocab = self.atlas.stashed[i]
+            if db is None or vocab is None:
+                continue
+            hit = reloc_in_map(
+                m_old, db, vocab, frame, self.cam_K,
+                self.cfg.place.reloc_min_inliers,
+                top_n=self.cfg.place.top_n_candidates,
+            )
+            if hit is None:
+                continue
+            pose, ref_kf = hit
+            # swap: stash the young active map, resume the old one
+            del self.atlas.stashed[i]
+            if int(self.map.n_kf) >= 5:
+                ydb = yvocab = None
+                if self.loop_closer is not None:
+                    ydb, yvocab = self.loop_closer.db, self.loop_closer.vocab
+                self.atlas.stash(self.epoch, self.map, ydb, yvocab)
+            self.map = m_old
+            self.epoch = epoch
+            if self.loop_closer is not None:
+                self.loop_closer.db = db
+                self.loop_closer.vocab = vocab
+            self.last_pose = pose
+            self.ref_kf = jnp.asarray(int(ref_kf), jnp.int32)
+            self.velocity = lie.se3_identity()
+            return True
+        return False
+
+    def try_merge_stashed(self, kf: int, frame: FrameObs) -> bool:
+        """Merge detection at keyframe time: if this keyframe relocalizes
+        inside a stashed map, weld the active (young) map into it
+        (LoopClosing::MergeLocal, LoopClosing.cc:1182)."""
+        from visual_sgraphs_tpu.place.loop_closer import reloc_in_map
+        from visual_sgraphs_tpu.slam import atlas as atlas_mod
+
+        for i in reversed(range(len(self.atlas.stashed))):
+            epoch_old, m_old, db, vocab = self.atlas.stashed[i]
+            if db is None or vocab is None:
+                continue
+            hit = reloc_in_map(
+                m_old, db, vocab, frame, self.cam_K,
+                self.cfg.place.reloc_min_inliers,
+                top_n=self.cfg.place.top_n_candidates,
+            )
+            if hit is None:
+                continue
+            T_cw_old, _ = hit
+            # welding transform: young world -> old world
+            T_cw_young = self.map.kf_pose[kf]
+            A = _velocity_of(  # T_wc_old ∘ T_cw_young
+                jnp.asarray(T_cw_young), jnp.asarray(T_cw_old)
+            )
+            A = lie.se3_normalize(lie.se3_inverse(A))
+            young_epoch = self.epoch
+            kf_new_alloc = jnp.cumsum(
+                self.map.kf_valid.astype(jnp.int32)
+            ) - 1 + m_old.n_kf
+            kf_new = jnp.where(
+                self.map.kf_valid & (kf_new_alloc < m_old.K),
+                kf_new_alloc, -1,
+            )
+            merged, stats = atlas_mod.merge_maps(m_old, self.map, A)
+            del self.atlas.stashed[i]
+            # remap this epoch's trajectory refs into the merged map
+            kf_new_np = np.asarray(kf_new)
+            self.trajectory = [
+                (ts, epoch_old, int(kf_new_np[ref]), rel, tr)
+                if (ep == young_epoch and 0 <= ref < len(kf_new_np)
+                    and kf_new_np[ref] >= 0)
+                else (ts, ep, ref, rel, tr)
+                for (ts, ep, ref, rel, tr) in self.trajectory
+            ]
+            self.map = merged
+            self.epoch = epoch_old
+            new_ref = int(kf_new_np[int(kf)])
+            self.ref_kf = jnp.asarray(max(new_ref, 0), jnp.int32)
+            self.last_pose = self.map.kf_pose[self.ref_kf]
+            if self.loop_closer is not None:
+                # rebuild the database over the merged map with the old
+                # map's vocabulary
+                self.loop_closer.vocab = vocab
+                self.loop_closer.rebuild_db(self.map)
+            self.map = mapping.fuse_observations(
+                self.map, self.ref_kf, self.cam_K
+            )
+            self.map, _ = mapping.local_ba(
+                self.map, self.ref_kf, self.cam_K, self.cam_bf,
+                n_window=self.cfg.mapping.local_window,
+                iters=self.cfg.mapping.lba_iters,
+            )
+            return True
+        return False
 
     def _initialize(self, frame: FrameObs):
         depth_ok = bool(jnp.any(frame.depth > 0))
@@ -299,6 +450,10 @@ class SlamSystem:
             if self.loop_closer.on_keyframe(self, kf, frame):
                 # the whole map moved: resume from the corrected pose
                 self.last_pose = self.map.kf_pose[kf]
+            # Atlas merge detection against stashed maps
+            # (LoopClosing.cc merge branch)
+            if self.atlas.stashed:
+                self.try_merge_stashed(int(kf), frame)
 
     def _record(self, frame: FrameObs):
         ref = int(self.ref_kf)
@@ -308,6 +463,7 @@ class SlamSystem:
         self.trajectory.append(
             (
                 float(frame.timestamp),
+                self.epoch,
                 ref,
                 T_rel,
                 self.state == TrackState.OK,
@@ -316,21 +472,37 @@ class SlamSystem:
 
     # ------------------------------------------------------------- exports
 
+    def _epoch_kf_poses(self) -> dict[int, jax.Array]:
+        tables = {self.epoch: self.map.kf_pose}
+        for epoch, m, _, _ in self.atlas.stashed:
+            tables[epoch] = m.kf_pose
+        return tables
+
     def frame_poses(self) -> np.ndarray:
         """(T, 7) current-best T_cw per recorded frame: relative poses
         recomposed against the *current* keyframe estimates, so loop/GBA
         corrections retroactively improve the whole trajectory (the
-        reference's SaveTrajectoryTUM recomposition)."""
+        reference's SaveTrajectoryTUM recomposition).  Frames recorded in
+        stashed Atlas maps recompose against that map's keyframes (their
+        world frame stays their own until a merge re-bases them)."""
         if not self.trajectory:
             return np.zeros((0, 7), np.float32)
-        kf_pose = self.map.kf_pose
-        refs = jnp.asarray([r for _, r, _, _ in self.trajectory], jnp.int32)
-        rels = jnp.asarray(np.stack([T for _, _, T, _ in self.trajectory]))
+        tables = self._epoch_kf_poses()
+        refs = jnp.asarray(
+            [r for _, _, r, _, _ in self.trajectory], jnp.int32
+        )
+        rels = jnp.asarray(
+            np.stack([T for _, _, _, T, _ in self.trajectory])
+        )
+        epochs = np.asarray([e for _, e, _, _, _ in self.trajectory])
+        # gather the right pose table row per entry (host mix, then one vmap)
+        kf_rows = np.stack([
+            np.asarray(tables.get(int(e), self.map.kf_pose)[int(r)])
+            for e, r in zip(epochs, np.asarray(refs))
+        ])
         out = jax.vmap(
-            lambda rel, ref: lie.se3_normalize(
-                lie.se3_multiply(rel, kf_pose[ref])
-            )
-        )(rels, refs)
+            lambda rel, base: lie.se3_normalize(lie.se3_multiply(rel, base))
+        )(rels, jnp.asarray(kf_rows))
         return np.asarray(out)
 
     def trajectory_tum(self) -> str:
@@ -338,7 +510,7 @@ class SlamSystem:
         poses in world frame (System::SaveTrajectoryTUM)."""
         lines = []
         poses = self.frame_poses()
-        for (ts, _, _, tracked), T_cw in zip(self.trajectory, poses):
+        for (ts, _, _, _, tracked), T_cw in zip(self.trajectory, poses):
             if not tracked:
                 continue
             T_wc = np.asarray(_inverse_pose(jnp.asarray(T_cw)))
@@ -360,4 +532,4 @@ class SlamSystem:
 
     def tracked_mask(self) -> np.ndarray:
         """(T,) bool — frames with a real pose estimate."""
-        return np.asarray([t for _, _, _, t in self.trajectory], bool)
+        return np.asarray([t for _, _, _, _, t in self.trajectory], bool)
