@@ -61,8 +61,9 @@ def main():
     )
     system = SlamSystem(cfg)
 
-    n_frames = 120
-    warmup = 20  # first frames pay compilation; steady state measured after
+    n_frames = 160
+    warmup = 40  # first frames pay compilation (incl. the first keyframe's
+    # BA shapes); steady state measured after
     frames = list(scene.frames(n_frames, kind="arc"))
 
     gt = []

@@ -133,28 +133,28 @@ def _gather_patches(img: jax.Array, rc: jax.Array, radius: int) -> jax.Array:
     )(r0, c0)
 
 
-_IC_MASK = None
-_IC_XS = None
-_IC_YS = None
+def _ic_constants():
+    """Host-side numpy constants for the IC-angle moments (safe to close
+    over inside jit — never cache traced arrays in module globals)."""
+    mask = _circular_mask(PATCH_RADIUS)
+    ys, xs = np.mgrid[-PATCH_RADIUS : PATCH_RADIUS + 1,
+                      -PATCH_RADIUS : PATCH_RADIUS + 1]
+    return (np.asarray(xs * mask, np.float32),
+            np.asarray(ys * mask, np.float32))
+
+
+_IC_XS, _IC_YS = _ic_constants()
 
 
 def _ic_angle(patches: jax.Array) -> jax.Array:
     """Intensity-centroid angle over the circular radius-15 patch
     (IC_Angle, ORBextractor.cc:70-97).  ``patches``: (K, 41, 41) — the
     central 31x31 region is used."""
-    global _IC_MASK, _IC_XS, _IC_YS
-    if _IC_MASK is None:
-        mask = _circular_mask(PATCH_RADIUS)
-        ys, xs = np.mgrid[-PATCH_RADIUS : PATCH_RADIUS + 1,
-                          -PATCH_RADIUS : PATCH_RADIUS + 1]
-        _IC_MASK = jnp.asarray(mask, jnp.float32)
-        _IC_XS = jnp.asarray(xs * mask, jnp.float32)
-        _IC_YS = jnp.asarray(ys * mask, jnp.float32)
     d = GATHER_RADIUS - PATCH_RADIUS
     sz = 2 * PATCH_RADIUS + 1
     central = patches[:, d : d + sz, d : d + sz]
-    m10 = jnp.sum(central * _IC_XS, axis=(-2, -1))
-    m01 = jnp.sum(central * _IC_YS, axis=(-2, -1))
+    m10 = jnp.sum(central * jnp.asarray(_IC_XS), axis=(-2, -1))
+    m01 = jnp.sum(central * jnp.asarray(_IC_YS), axis=(-2, -1))
     return jnp.arctan2(m01, m10)
 
 

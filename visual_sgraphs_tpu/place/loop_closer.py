@@ -218,10 +218,17 @@ class LoopCloser:
         )
         self.db = db_mod.add_keyframe(self.db, kf, bow)
 
-        # score must rival the best covisible score (LoopClosing's minScore)
-        ref_score = float(db_mod.best_covisible_score(self.db, bow, covis))
-        cand_ids = np.asarray(cand_ids)
-        cand_scores = np.asarray(cand_scores)
+        # score must rival the best covisible score (LoopClosing's minScore);
+        # pack everything into ONE readback (25 ms per D2H round trip)
+        ref_score_dev = db_mod.best_covisible_score(self.db, bow, covis)
+        packed = np.asarray(jnp.concatenate([
+            ref_score_dev[None], cand_ids.astype(jnp.float32),
+            cand_scores,
+        ]))
+        n_top = self.cfg.top_n_candidates
+        ref_score = float(packed[0])
+        cand_ids = packed[1:1 + n_top].astype(np.int32)
+        cand_scores = packed[1 + n_top:]
         best = -1
         for cid, sc in zip(cand_ids, cand_scores):
             if cid >= 0 and sc >= self.cfg.loop_score_ratio * max(
@@ -299,5 +306,6 @@ class LoopCloser:
         pose, cid = hit
         system.last_pose = pose
         system.ref_kf = jnp.asarray(cid, jnp.int32)
+        system.ref_kf_host = cid
         system.velocity = lie.se3_identity()
         return True

@@ -111,6 +111,54 @@ def insert_keyframe(
     return new_m, k
 
 
+@jax.jit
+def apply_found_stats(m: MapState, slot_pts: jax.Array) -> MapState:
+    """Fold a batch of per-frame match tables into the found counters
+    (MapPoint::IncreaseFound accumulated lazily).  ``slot_pts``: (B, F)
+    point ids or -1 (padding rows all -1)."""
+    flat = slot_pts.reshape(-1)
+    pt_found = m.pt_found.at[jnp.maximum(flat, 0)].add(
+        (flat >= 0).astype(jnp.int32), mode="drop"
+    )
+    return m._replace(pt_found=pt_found)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("do_fuse", "do_ba", "n_window", "lba_iters"),
+)
+def insert_and_maintain(
+    m: MapState,
+    frame: FrameObs,
+    pose: jax.Array,
+    slot_pt: jax.Array,
+    cam_K: jax.Array,
+    stats_slots: jax.Array,
+    cull_kf_redundancy: float,
+    cam_bf: jax.Array = None,
+    do_fuse: bool = True,
+    do_ba: bool = False,
+    n_window: int = 10,
+    lba_iters: int = 10,
+) -> tuple[MapState, jax.Array]:
+    """The whole keyframe bookkeeping path fused into ONE program: lazy
+    found-stats, insertion + point seeding, observation fusion, point and
+    keyframe culling, and (``do_ba``) the windowed Schur BA — the
+    LocalMapping chain (LocalMapping.cc:58-278) as one executable.  Each
+    separate dispatch costs a ~23 ms tunnel round trip, so the chain must
+    not be split."""
+    m = apply_found_stats(m, stats_slots)
+    m, kf = insert_keyframe(m, frame, pose, slot_pt, cam_K)
+    if do_fuse:
+        m = fuse_observations(m, kf, cam_K)
+    m = cull_points(m)
+    m = cull_keyframes(m, kf, cull_kf_redundancy)
+    if do_ba:
+        m, _ = local_ba(m, kf, cam_K, cam_bf, n_window=n_window,
+                        iters=lba_iters)
+    return m, kf
+
+
 # ---------------------------------------------------------------------------
 # mono point creation: epipolar triangulation with the best neighbour
 # ---------------------------------------------------------------------------

@@ -153,6 +153,8 @@ def try_initialize(system, frame) -> bool:
         system.map, kf1, K, None, n_window=4, iters=10
     )
     system.ref_kf = kf1
+    system.ref_kf_host = min(system.n_kf_host + 1, system.map.K - 1)
+    system.n_kf_host += 2
     system.last_pose = system.map.kf_pose[kf1]
     system.frames_since_kf = 0
     system.last_kf_inliers = n_good

@@ -61,6 +61,10 @@ class SlamSystem:
         self.last_pose = lie.se3_identity()
         self.velocity = lie.se3_identity()  # T_curr·T_last⁻¹ motion model
         self.ref_kf = jnp.asarray(0, jnp.int32)
+        # host mirrors of device counters — reading a device scalar costs a
+        # ~25 ms tunnel round trip, so the hot loop never does it
+        self.ref_kf_host = 0
+        self.n_kf_host = 0
         self.frames_since_kf = 0
         self.last_kf_inliers = 1
         self.peak_inliers = 1
@@ -81,6 +85,9 @@ class SlamSystem:
         self.atlas = Atlas()
         self.epoch = 0
         self.lost_frames = 0
+        # pipelined per-frame decision state (fused fast path)
+        self._pending = None
+        self._stats_buf: list = []
         self.scenegraph = None  # attached by api layer when semantics are on
         self.loop_closer = None  # place recognition (LoopClosing thread role)
         if config.loop_closing:
@@ -106,14 +113,19 @@ class SlamSystem:
         ``imu``: optional (omega (T,3), acc (T,3), t (T,)) samples since the
         previous frame (the vImuMeas argument of the reference's Track*)."""
         depth = jnp.asarray(depth)
-        frame = make_frame_obs(
-            jnp.asarray(gray), depth, timestamp,
-            self.cfg.camera, self.cfg.orb,
-        )
+        gray = jnp.asarray(gray)
         # kept for the scene-graph pipeline, which consumes the KF's dense
         # cloud (the reference stores it on the KeyFrame, KeyFrame.h:516)
         self._last_depth_img = depth
-        return self._track(frame, imu)
+        if self.state == TrackState.OK and self.imu is None:
+            # fused fast path: ONE device program + ONE scalar readback,
+            # resolved one frame behind
+            return self._track_fused(gray, depth, timestamp)
+        self.flush()
+        frame = make_frame_obs(
+            gray, depth, timestamp, self.cfg.camera, self.cfg.orb,
+        )
+        return self._track(frame, imu, timestamp)
 
     def track_mono(self, gray, timestamp: float, imu=None) -> np.ndarray:
         frame = make_frame_obs(
@@ -134,17 +146,176 @@ class SlamSystem:
 
     # ------------------------------------------------------------- internals
 
-    def _track(self, frame: FrameObs, imu=None) -> np.ndarray:
+    def _track_fused(self, gray, depth, timestamp: float):
+        """Per-frame visual tracking as one fused device program with a
+        one-frame-deferred decision.
+
+        Frame N's step is dispatched immediately (its inputs — pose,
+        velocity, map — are device handles selected *inside* frame N-1's
+        step, so no readback is needed to launch it); frame N-1's packed
+        scalars are read afterwards and its host decisions (keyframe
+        policy, lost handling) resolve then.  This mirrors the reference's
+        thread overlap (tracking never waits on mapping) and hides the
+        ~23 ms tunnel readback behind the next frame's execution.
+        """
+        t = self.cfg.tracking
+        step = tracking.make_frame_step(
+            self.cfg.camera, self.cfg.orb,
+            self.cfg.mapping.local_window, 4096,
+            t.match_radius_coarse, t.match_radius_fine, True,
+        )
+        ts = float(timestamp)
+        frame, res, pose_sel, vel_sel, T_rel, packed = step(
+            self.map, gray, depth, jnp.asarray(ts, jnp.float32),
+            self.last_pose, self.velocity, self.ref_kf, self.cam_K,
+            jnp.asarray(t.min_inliers_ok, jnp.int32),
+        )
+        # advance the device-side chain; host decisions lag one frame
+        self.last_pose = pose_sel
+        self.velocity = vel_sel
+        prev = self._pending
+        self._pending = {
+            "ts": ts, "frame": frame, "res": res, "T_rel": T_rel,
+            "packed": packed, "ref_host": self.ref_kf_host,
+            "epoch": self.epoch,
+        }
+        if prev is not None:
+            self._resolve_pending(prev)
+        return self.last_pose
+
+    def _resolve_pending(self, p) -> None:
+        """Apply frame ``p``'s host-side decisions (one readback)."""
+        t = self.cfg.tracking
+        n_inl = int(np.asarray(p["packed"])[1])
+        accepted = n_inl >= t.min_inliers_ok
+        self.trajectory.append(
+            (p["ts"], p["epoch"], p["ref_host"], p["T_rel"], accepted)
+        )
+        if accepted:
+            self.state = TrackState.OK
+            self.lost_frames = 0
+            self.peak_inliers = max(self.peak_inliers, n_inl)
+            self._stats_buf.append(p["res"].slot_pt)
+            if self._need_keyframe(n_inl):
+                self._insert_keyframe_fused(p["frame"], p["res"], n_inl)
+            return
+        # ---- lost handling (Tracking.cc:2024-2098)
+        self.state = TrackState.RECENTLY_LOST
+        self.velocity = lie.se3_identity()
+        self.lost_frames += 1
+        relocated = False
+        if self.loop_closer is not None:
+            relocated = self.loop_closer.relocalize(self, p["frame"])
+            if not relocated and self.atlas.stashed:
+                relocated = self._relocalize_in_stashed(p["frame"])
+            if relocated:
+                self.state = TrackState.OK
+                self.lost_frames = 0
+        if not relocated:
+            budget = int(t.recently_lost_budget * self.cfg.camera.fps)
+            if self.lost_frames >= budget:
+                self._new_map()
+
+    def flush(self) -> None:
+        """Resolve any in-flight frame decision (call before reading
+        host-visible state such as the trajectory)."""
+        p, self._pending = self._pending, None
+        if p is not None:
+            self._resolve_pending(p)
+
+    def _abort_pending(self) -> None:
+        """Drop an in-flight frame whose map just got swapped out (its
+        match table references the old map's point slots): record it as
+        untracked so the trajectory stays frame-aligned."""
+        p, self._pending = self._pending, None
+        if p is not None:
+            self.trajectory.append(
+                (p["ts"], p["epoch"], p["ref_host"], p["T_rel"], False)
+            )
+        self._stats_buf = []
+
+    def _stacked_stats(self) -> jax.Array:
+        """(B, F) padded batch of per-frame match tables since the last
+        keyframe (device handles; no sync)."""
+        F = self.map.F
+        B = 32  # static bucket (kf_max_interval is 30)
+        buf = self._stats_buf[-B:]
+        self._stats_buf = []
+        pad = jnp.full((B - len(buf), F), -1, jnp.int32)
+        if buf:
+            return jnp.concatenate([jnp.stack(buf), pad])
+        return pad
+
+    def _insert_keyframe_fused(self, frame: FrameObs,
+                               res: tracking.TrackResult, n_inl: int):
+        """Keyframe path with the full maintenance chain + local BA as ONE
+        program (scene-graph variants keep their own BA)."""
+        sg_on = self.scenegraph is not None
+        self.map, kf = mapping.insert_and_maintain(
+            self.map, frame, res.pose, res.slot_pt, self.cam_K,
+            self._stacked_stats(), self.cfg.mapping.kf_cull_redundancy,
+            cam_bf=self.cam_bf, do_ba=not sg_on,
+            n_window=self.cfg.mapping.local_window,
+            lba_iters=self.cfg.mapping.lba_iters,
+        )
+        kf_host = min(self.n_kf_host, self.map.K - 1)
+        self.n_kf_host += 1
+        if sg_on:
+            self.scenegraph.on_keyframe(
+                self, kf, frame,
+                depth_img=getattr(self, "_last_depth_img", None),
+            )
+            sg_ba = (
+                self.cfg.scenegraph.plane_kf_factor
+                and int(self.scenegraph.state.n_obs) > 0
+            )
+            if sg_ba:
+                from visual_sgraphs_tpu.scenegraph.joint_ba import (
+                    scenegraph_local_ba,
+                )
+
+                self.map, self.scenegraph.state, _ = scenegraph_local_ba(
+                    self.map, self.scenegraph.state, kf, self.cam_K,
+                    self.cam_bf,
+                    n_window=self.cfg.mapping.local_window,
+                    iters=self.cfg.mapping.lba_iters,
+                )
+            else:
+                self.map, _ = mapping.local_ba(
+                    self.map, kf, self.cam_K, self.cam_bf,
+                    n_window=self.cfg.mapping.local_window,
+                    iters=self.cfg.mapping.lba_iters,
+                )
+        self.ref_kf = kf
+        self.ref_kf_host = kf_host
+        self.frames_since_kf = 0
+        self.last_kf_inliers = max(n_inl, 1)
+        self.peak_inliers = self.last_kf_inliers
+        if self._pending is None:
+            # no newer frame in flight: re-anchor tracking on the
+            # BA-adjusted keyframe pose (in pipelined operation the next
+            # frame's step already advanced the device pose chain)
+            self.last_pose = self.map.kf_pose[kf]
+        if self.loop_closer is not None:
+            if self.loop_closer.on_keyframe(self, kf, frame):
+                self.last_pose = self.map.kf_pose[kf]
+            if self.atlas.stashed:
+                self.try_merge_stashed(kf_host, frame)
+
+    def _track(self, frame: FrameObs, imu=None, timestamp=None):
+        ts = float(timestamp) if timestamp is not None else float(
+            frame.timestamp
+        )
         frame_pre = None
         if self.imu is not None:
             if imu is not None:
                 self.imu.add_samples(*imu)
-            frame_pre = self.imu.preintegrate_frame(float(frame.timestamp))
+            frame_pre = self.imu.preintegrate_frame(ts)
 
         if self.state == TrackState.NOT_INITIALIZED:
             self._initialize(frame)
-            self._record(frame)
-            return np.asarray(self.last_pose)
+            self._record(ts)
+            return self.last_pose
 
         T_pred = None
         if self.imu is not None:
@@ -154,25 +325,17 @@ class SlamSystem:
         if T_pred is None:
             T_pred = _predict_pose(self.velocity, self.last_pose)
         t = self.cfg.tracking
-        res = tracking.track_frame(
-            self.map, frame, T_pred, self.ref_kf, self.cam_K,
+        # ONE fused program: coarse track + conditional wide-window retry
+        # (TrackReferenceKeyFrame fallback) + point stats; ONE scalar
+        # readback per frame — D2H round trips cost ~25 ms on the tunnel
+        res, map_stats, packed = tracking.track_frame_full(
+            self.map, frame, T_pred, self.last_pose, self.ref_kf,
+            self.cam_K, jnp.asarray(t.min_inliers_ok, jnp.int32),
             n_window=self.cfg.mapping.local_window,
             fx_radius=t.match_radius_coarse,
             fine_radius=t.match_radius_fine,
         )
-        n_inl = int(res.n_inliers)
-
-        if n_inl < t.min_inliers_ok:
-            # wide-window retry from the last good pose — the
-            # TrackReferenceKeyFrame / short-reloc fallback
-            # (Tracking.cc:2790, :3687)
-            res = tracking.track_frame(
-                self.map, frame, self.last_pose, self.ref_kf, self.cam_K,
-                n_window=self.cfg.mapping.local_window,
-                fx_radius=t.match_radius_coarse * 4.0,
-                fine_radius=t.match_radius_fine * 2.0,
-            )
-            n_inl = int(res.n_inliers)
+        n_inl = int(np.asarray(packed)[1])
 
         if n_inl >= t.min_inliers_ok:
             recovered = self.state != TrackState.OK
@@ -181,10 +344,10 @@ class SlamSystem:
             new_pose = lie.se3_normalize(res.pose)
             self.velocity = _velocity_of(new_pose, self.last_pose)
             self.last_pose = new_pose
-            self.map = tracking.update_point_stats(self.map, res)
+            self.map = map_stats
             self.peak_inliers = max(self.peak_inliers, n_inl)
             if recovered or self._need_keyframe(n_inl):
-                self._insert_keyframe(frame, res)
+                self._insert_keyframe(frame, res, n_inl)
         else:
             # hold position rather than dead-reckoning an unreliable
             # velocity; re-tracking resumes from the last good pose
@@ -214,13 +377,14 @@ class SlamSystem:
                     # (CreateMapInAtlas, Tracking.cc:2733)
                     self._new_map()
 
-        self._record(frame)
-        return np.asarray(self.last_pose)
+        self._record(ts)
+        return self.last_pose
 
     # --------------------------------------------------- Atlas multi-map
 
     def _new_map(self):
         """Stash the active map and restart tracking on a fresh one."""
+        self._abort_pending()
         if int(self.map.n_kf) >= 5:
             db = vocab = None
             if self.loop_closer is not None:
@@ -241,6 +405,8 @@ class SlamSystem:
         self.last_pose = lie.se3_identity()
         self.velocity = lie.se3_identity()
         self.ref_kf = jnp.asarray(0, jnp.int32)
+        self.ref_kf_host = 0
+        self.n_kf_host = 0
         self.lost_frames = 0
         self.peak_inliers = 1
 
@@ -263,6 +429,7 @@ class SlamSystem:
                 continue
             pose, ref_kf = hit
             # swap: stash the young active map, resume the old one
+            self._abort_pending()
             del self.atlas.stashed[i]
             if int(self.map.n_kf) >= 5:
                 ydb = yvocab = None
@@ -276,6 +443,8 @@ class SlamSystem:
                 self.loop_closer.vocab = vocab
             self.last_pose = pose
             self.ref_kf = jnp.asarray(int(ref_kf), jnp.int32)
+            self.ref_kf_host = int(ref_kf)
+            self.n_kf_host = int(self.map.n_kf)
             self.velocity = lie.se3_identity()
             return True
         return False
@@ -300,6 +469,7 @@ class SlamSystem:
                 continue
             T_cw_old, _ = hit
             # welding transform: young world -> old world
+            self._abort_pending()
             T_cw_young = self.map.kf_pose[kf]
             A = _velocity_of(  # T_wc_old ∘ T_cw_young
                 jnp.asarray(T_cw_young), jnp.asarray(T_cw_old)
@@ -328,6 +498,8 @@ class SlamSystem:
             self.epoch = epoch_old
             new_ref = int(kf_new_np[int(kf)])
             self.ref_kf = jnp.asarray(max(new_ref, 0), jnp.int32)
+            self.ref_kf_host = max(new_ref, 0)
+            self.n_kf_host = int(self.map.n_kf)
             self.last_pose = self.map.kf_pose[self.ref_kf]
             if self.loop_closer is not None:
                 # rebuild the database over the merged map with the old
@@ -356,9 +528,12 @@ class SlamSystem:
             self.map, kf = mapping.insert_keyframe(
                 self.map, frame, pose, slot_pt, self.cam_K
             )
+            kf_host = min(self.n_kf_host, self.map.K - 1)
+            self.n_kf_host += 1
             n_pts = int(self.map.n_pt)
             if n_pts >= 100:
                 self.ref_kf = kf
+                self.ref_kf_host = kf_host
                 self.last_pose = pose
                 self.state = TrackState.OK
                 self.frames_since_kf = 0
@@ -387,10 +562,13 @@ class SlamSystem:
             return True
         return n_inliers < t.kf_min_tracked_ratio * self.peak_inliers
 
-    def _insert_keyframe(self, frame: FrameObs, res: tracking.TrackResult):
+    def _insert_keyframe(self, frame: FrameObs, res: tracking.TrackResult,
+                         n_inl: int = 0):
         self.map, kf = mapping.insert_keyframe(
             self.map, frame, res.pose, res.slot_pt, self.cam_K
         )
+        kf_host = min(self.n_kf_host, self.map.K - 1)
+        self.n_kf_host += 1
         if self.cfg.sensor in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR):
             self.map = mapping.create_points_mono(self.map, kf, self.cam_K)
         self.map = mapping.fuse_observations(self.map, kf, self.cam_K)
@@ -412,7 +590,7 @@ class SlamSystem:
         if self.imu is not None:
             # bind the KF-to-KF preintegration, run the IMU-init schedule,
             # then visual-inertial windowed BA (LocalMapping.cc:142,175-238)
-            self.imu.on_keyframe(int(kf))
+            self.imu.on_keyframe(kf_host)
             self.imu.try_initialize(self)
         if sg_ba:
             from visual_sgraphs_tpu.scenegraph.joint_ba import (
@@ -427,7 +605,7 @@ class SlamSystem:
             )
         elif self.imu is not None and self.imu.initialized:
             self.imu.local_ba(
-                self, int(kf), n_window=self.cfg.mapping.local_window,
+                self, kf_host, n_window=self.cfg.mapping.local_window,
                 iters=self.cfg.mapping.lba_iters,
             )
         else:
@@ -441,8 +619,9 @@ class SlamSystem:
             self.map, kf, self.cfg.mapping.kf_cull_redundancy
         )
         self.ref_kf = kf
+        self.ref_kf_host = kf_host
         self.frames_since_kf = 0
-        self.last_kf_inliers = max(int(res.n_inliers), 1)
+        self.last_kf_inliers = max(n_inl, 1)
         self.peak_inliers = self.last_kf_inliers
         # keep tracking's reference pose consistent with the adjusted map
         self.last_pose = self.map.kf_pose[kf]
@@ -453,18 +632,17 @@ class SlamSystem:
             # Atlas merge detection against stashed maps
             # (LoopClosing.cc merge branch)
             if self.atlas.stashed:
-                self.try_merge_stashed(int(kf), frame)
+                self.try_merge_stashed(kf_host, frame)
 
-    def _record(self, frame: FrameObs):
-        ref = int(self.ref_kf)
-        T_rel = np.asarray(
-            _velocity_of(self.last_pose, self.map.kf_pose[self.ref_kf])
-        )
+    def _record(self, ts: float):
+        # keep T_rel on device: no per-frame readback (exports stack all
+        # entries and read back once)
+        T_rel = _velocity_of(self.last_pose, self.map.kf_pose[self.ref_kf])
         self.trajectory.append(
             (
-                float(frame.timestamp),
+                ts,
                 self.epoch,
-                ref,
+                self.ref_kf_host,
                 T_rel,
                 self.state == TrackState.OK,
             )
@@ -485,24 +663,26 @@ class SlamSystem:
         reference's SaveTrajectoryTUM recomposition).  Frames recorded in
         stashed Atlas maps recompose against that map's keyframes (their
         world frame stays their own until a merge re-bases them)."""
+        self.flush()
         if not self.trajectory:
             return np.zeros((0, 7), np.float32)
         tables = self._epoch_kf_poses()
         refs = jnp.asarray(
             [r for _, _, r, _, _ in self.trajectory], jnp.int32
         )
-        rels = jnp.asarray(
-            np.stack([T for _, _, _, T, _ in self.trajectory])
-        )
+        rels = jnp.stack([T for _, _, _, T, _ in self.trajectory])
         epochs = np.asarray([e for _, e, _, _, _ in self.trajectory])
-        # gather the right pose table row per entry (host mix, then one vmap)
-        kf_rows = np.stack([
-            np.asarray(tables.get(int(e), self.map.kf_pose)[int(r)])
-            for e, r in zip(epochs, np.asarray(refs))
-        ])
+        # per-epoch device gathers, combined on device; ONE final readback
+        kf_rows = jnp.zeros((len(self.trajectory), 7), rels.dtype)
+        for e, table in tables.items():
+            sel = epochs == e
+            if not sel.any():
+                continue
+            idx = jnp.asarray(np.nonzero(sel)[0], jnp.int32)
+            kf_rows = kf_rows.at[idx].set(table[refs[idx]])
         out = jax.vmap(
             lambda rel, base: lie.se3_normalize(lie.se3_multiply(rel, base))
-        )(rels, jnp.asarray(kf_rows))
+        )(rels, kf_rows)
         return np.asarray(out)
 
     def trajectory_tum(self) -> str:
@@ -532,4 +712,5 @@ class SlamSystem:
 
     def tracked_mask(self) -> np.ndarray:
         """(T,) bool — frames with a real pose estimate."""
+        self.flush()
         return np.asarray([t for _, _, _, _, t in self.trajectory], bool)

@@ -69,6 +69,71 @@ def _local_point_table(m: MapState, ref_kf: jax.Array, n_window: int,
     return ids, safe, valid
 
 
+def pose_only_gn(T_init, xw, uv, valid, cam_K, iters: int = 10,
+                 chi2_gate: float = CHI2_MONO, huber: float = 2.447):
+    """Dedicated motion-only Gauss-Newton (the PoseOptimization hot loop,
+    Optimizer.cc:1063) with analytic Jacobians and MXU-shaped normal
+    equations — one residual evaluation per iteration.
+
+    The generic LM engine evaluates residuals ~3x per iteration (linearize,
+    candidate cost, gate) through autodiff; at 30+ iterations per frame that
+    dominated the whole tracking step.  Here each iteration is: project,
+    analytic (M, 2, 6) Jacobian, Huber + chi2 re-gating as weights (outlier
+    recovery exactly like the reference's between-round re-marking), one
+    (6, M*2)x(M*2, 6) matmul, one 6x6 solve.
+
+    Returns (T (7,), inliers (M,) bool).
+    """
+    fx, fy = cam_K[0], cam_K[1]
+    M = xw.shape[0]
+
+    def step(T, _):
+        R = lie.quat_to_matrix(T[:4])
+        p = xw @ R.T + T[4:7]  # (M, 3) camera-frame points
+        z = jnp.maximum(p[:, 2], 1e-6)
+        inv_z = 1.0 / z
+        u_hat = fx * p[:, 0] * inv_z + cam_K[2]
+        v_hat = fy * p[:, 1] * inv_z + cam_K[3]
+        r = jnp.stack([u_hat - uv[:, 0], v_hat - uv[:, 1]], axis=1)  # (M,2)
+        chi2 = jnp.sum(r * r, axis=1)
+        ok = valid & (p[:, 2] > 0.05)
+        # Huber IRLS weight + hard gate re-tested every iteration
+        s = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+        w = jnp.where(ok & (chi2 <= chi2_gate * 4.0),
+                      jnp.minimum(1.0, huber / s), 0.0)
+        # d uv / d p  (M, 2, 3)
+        Jp = jnp.stack([
+            jnp.stack([fx * inv_z, jnp.zeros_like(z),
+                       -fx * p[:, 0] * inv_z * inv_z], axis=1),
+            jnp.stack([jnp.zeros_like(z), fy * inv_z,
+                       -fy * p[:, 1] * inv_z * inv_z], axis=1),
+        ], axis=1)
+        # d p / d xi = [I | -hat(p)]  (M, 3, 6)
+        hatp = jax.vmap(lie.hat)(p)
+        Jx = jnp.concatenate([
+            jnp.broadcast_to(jnp.eye(3, dtype=p.dtype), (M, 3, 3)), -hatp
+        ], axis=2)
+        J = jnp.einsum("mij,mjk->mik", Jp, Jx)  # (M, 2, 6)
+        Jw = J * w[:, None, None]
+        J2 = J.reshape(M * 2, 6)
+        Jw2 = Jw.reshape(M * 2, 6)
+        H = jax.lax.dot_general(Jw2, J2, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        g = jnp.einsum("mri,mr->i", Jw, r)
+        H = H + jnp.eye(6, dtype=H.dtype) * 1e-3
+        dx = jnp.linalg.solve(H, -g)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        return lie.se3_normalize(lie.se3_boxplus(T, dx)), None
+
+    T, _ = jax.lax.scan(step, T_init, None, length=iters)
+    # final inlier classification at the solution
+    p = lie.se3_apply(T, xw)
+    uv_hat = cameras.project_pinhole(cam_K, p)
+    chi2 = jnp.sum((uv_hat - uv) ** 2, axis=1)
+    inl = valid & (p[:, 2] > 0.05) & (chi2 <= chi2_gate)
+    return T, inl
+
+
 def _pose_only_solve(T_init, xw, uv, valid, cam_K, rounds, iters):
     m = uv.shape[0]
     batch = FactorBatch(
@@ -103,6 +168,21 @@ def track_frame(
     fx_radius: float = 15.0,
     fine_radius: float = 7.0,
 ) -> TrackResult:
+    return _track_frame_impl(m, frame, T_pred, ref_kf, cam_K, n_window,
+                             n_local, fx_radius, fine_radius)
+
+
+def _track_frame_impl(
+    m: MapState,
+    frame: FrameObs,
+    T_pred: jax.Array,
+    ref_kf: jax.Array,
+    cam_K: jax.Array,
+    n_window: int = 10,
+    n_local: int = 4096,
+    fx_radius: float = 15.0,
+    fine_radius: float = 7.0,
+) -> TrackResult:
     """Track one frame against the local map from predicted pose ``T_pred``."""
     ids, safe, lvalid = _local_point_table(m, ref_kf, n_window, n_local)
     xw = m.pt_pos[safe]
@@ -122,8 +202,8 @@ def track_frame(
     )
     ok = match >= 0
     slot = jnp.maximum(match, 0)
-    T1, inl1 = _pose_only_solve(
-        T_pred, xw, frame.uv[slot], ok, cam_K, rounds=2, iters=8
+    T1, inl1 = pose_only_gn(
+        T_pred, xw, frame.uv[slot], ok, cam_K, iters=8
     )
 
     # ---- pass 2: tighter re-match at refined pose + solve (TrackLocalMap)
@@ -134,8 +214,8 @@ def track_frame(
     )
     ok2 = match2 >= 0
     slot2 = jnp.maximum(match2, 0)
-    T2, inlier_mask = _pose_only_solve(
-        T1, xw, frame.uv[slot2], ok2, cam_K, rounds=2, iters=8
+    T2, inlier_mask = pose_only_gn(
+        T1, xw, frame.uv[slot2], ok2, cam_K, iters=8
     )
 
     # per-frame-slot matched point ids (for keyframe insertion), inliers only
@@ -152,6 +232,106 @@ def track_frame(
         n_inliers=jnp.sum(keep.astype(jnp.int32)),
         n_local_pts=jnp.sum(lvalid.astype(jnp.int32)),
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_window", "n_local", "fx_radius",
+                              "fine_radius"),
+)
+def track_frame_full(
+    m: MapState,
+    frame: FrameObs,
+    T_pred: jax.Array,
+    T_last: jax.Array,
+    ref_kf: jax.Array,
+    cam_K: jax.Array,
+    min_inliers: jax.Array,
+    n_window: int = 10,
+    n_local: int = 4096,
+    fx_radius: float = 15.0,
+    fine_radius: float = 7.0,
+):
+    """The whole per-frame tracking decision tree as ONE program: coarse
+    track at the predicted pose, and — only when inliers fall short — the
+    wide-window re-track from the last good pose (TrackReferenceKeyFrame
+    fallback) via ``lax.cond``.  Also folds the point-stats update in.
+
+    Returns (result, new_map, packed) where ``packed`` is a (4,) float32
+    [n_matches, n_inliers, n_local_pts, retried] — the ONLY thing the host
+    needs to read back per frame (each device->host readback costs ~25 ms
+    over the remote-TPU tunnel, so the hot loop does exactly one).
+    """
+    res1 = _track_frame_impl(m, frame, T_pred, ref_kf, cam_K, n_window,
+                             n_local, fx_radius, fine_radius)
+    need_retry = res1.n_inliers < min_inliers
+
+    def retry(_):
+        return _track_frame_impl(m, frame, T_last, ref_kf, cam_K, n_window,
+                                 n_local, fx_radius * 4.0, fine_radius * 2.0)
+
+    res = jax.lax.cond(need_retry, retry, lambda _: res1, None)
+    new_m = update_point_stats(m, res)
+    packed = jnp.stack([
+        res.n_matches.astype(jnp.float32),
+        res.n_inliers.astype(jnp.float32),
+        res.n_local_pts.astype(jnp.float32),
+        need_retry.astype(jnp.float32),
+    ])
+    return res, new_m, packed
+
+
+@functools.lru_cache(maxsize=None)
+def make_frame_step(cam, orb, n_window: int, n_local: int,
+                    fx_radius: float, fine_radius: float, has_depth: bool):
+    """Build the fused per-frame program: ORB extraction + prediction +
+    coarse/retry/fine tracking + stats + trajectory bookkeeping, ONE
+    executable and ONE packed-scalar readback per frame.
+
+    On the remote-TPU tunnel every program execution and every D2H read
+    costs ~25 ms; the reference's per-frame hot path (Frame ctor +
+    Track(), SURVEY §3.2) therefore must be a single dispatch.
+    """
+    from visual_sgraphs_tpu.slam.frame import _jit_frame_obs
+
+    frame_fn = _jit_frame_obs(cam, orb, has_depth)
+
+    def step(m: MapState, gray, depth_img, ts, T_last, velocity,
+             ref_kf, cam_K, min_inliers):
+        frame = frame_fn(gray, depth_img, ts)
+        T_pred = lie.se3_normalize(lie.se3_multiply(velocity, T_last))
+        res1 = _track_frame_impl(m, frame, T_pred, ref_kf, cam_K,
+                                 n_window, n_local, fx_radius, fine_radius)
+        need_retry = res1.n_inliers < min_inliers
+
+        def retry(_):
+            return _track_frame_impl(m, frame, T_last, ref_kf, cam_K,
+                                     n_window, n_local, fx_radius * 4.0,
+                                     fine_radius * 2.0)
+
+        res = jax.lax.cond(need_retry, retry, lambda _: res1, None)
+        accepted = res.n_inliers >= min_inliers
+        new_pose = lie.se3_normalize(res.pose)
+        pose_sel = jnp.where(accepted, new_pose, T_last)
+        vel_new = lie.se3_normalize(
+            lie.se3_multiply(new_pose, lie.se3_inverse(T_last))
+        )
+        vel_sel = jnp.where(accepted, vel_new, lie.se3_identity())
+        T_rel = lie.se3_normalize(
+            lie.se3_multiply(pose_sel, lie.se3_inverse(m.kf_pose[ref_kf]))
+        )
+        packed = jnp.stack([
+            res.n_matches.astype(jnp.float32),
+            res.n_inliers.astype(jnp.float32),
+            res.n_local_pts.astype(jnp.float32),
+            need_retry.astype(jnp.float32),
+        ])
+        # the map is deliberately NOT threaded through: per-frame point
+        # stats are accumulated by the host (res.slot_pt) and folded in at
+        # keyframe time, so consecutive steps have no map data hazard and
+        # can be dispatched without waiting for the previous decision
+        return frame, res, pose_sel, vel_sel, T_rel, packed
+
+    return jax.jit(step)
 
 
 @functools.partial(jax.jit, static_argnames=())
