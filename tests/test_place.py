@@ -221,3 +221,37 @@ class TestLoopClosingE2E:
         rmse, _ = geometry.ate_rmse(jnp.asarray(est),
                                     jnp.asarray(np.stack(gt)))
         assert float(rmse) < 0.15, f"post-loop ATE {float(rmse):.3f}"
+
+
+class TestPnPReloc:
+    def test_pnp_recovers_large_viewpoint_change(self, rng):
+        """Reloc must succeed when the query pose differs from the
+        candidate keyframe by >30 deg (the MLPnP role the warm-start hack
+        could not fill)."""
+        from visual_sgraphs_tpu.core import cameras
+        from visual_sgraphs_tpu.place.pnp import ransac_pnp
+
+        M = 150
+        xw = jnp.asarray(
+            rng.uniform(-2, 2, (M, 3)).astype(np.float32) + [0, 0, 5]
+        )
+        T_true = lie.se3_exp(jnp.asarray(
+            [0.4, 0.5, 0.1, 0.8, -0.2, 0.3], jnp.float32
+        ))  # ~37 deg rotation
+        cam_K = jnp.asarray([260.0, 260.0, 160.0, 120.0], jnp.float32)
+        p = lie.se3_apply(T_true, xw)
+        uv = cameras.project_pinhole(cam_K, p)
+        uv = uv + jnp.asarray(
+            rng.normal(size=uv.shape).astype(np.float32)
+        ) * 0.5
+        n_out = M // 4
+        uv = uv.at[:n_out].add(jnp.asarray(
+            rng.uniform(-100, 100, (n_out, 2)).astype(np.float32)
+        ))
+        res = ransac_pnp(xw, uv, jnp.ones((M,), bool), cam_K,
+                         jax.random.PRNGKey(3))
+        assert int(res.n_inliers) >= M - n_out - 10
+        err = lie.se3_log(lie.se3_multiply(
+            res.T_cw, lie.se3_inverse(T_true.astype(res.T_cw.dtype))
+        ))
+        assert float(jnp.linalg.norm(err)) < 0.02

@@ -109,7 +109,13 @@ class SceneGraphConfig:
     marker_impact: float = 0.5
     plane_kf_factor: bool = True
     plane_point_factor: bool = True
+    plane_point_info: float = 5.0  # Gij factor gain (optimization.plane_point)
     plane_map_point_factor: bool = False
+    plane_map_point_dist: float = 0.08  # membership distance (octree proxy)
+    plane_map_point_info: float = 2.0
+    room_factor: bool = True  # room-center-from-walls factors
+    room_info: float = 1.0
+    door_factor: bool = True  # door-room rigidity factors
     plane_assoc_ominus_thresh: float = 0.3
     plane_assoc_dist_thresh: float = 0.35
     plane_min_votes: float = 3.0
@@ -205,6 +211,12 @@ class EnvDatabase:
 class SystemConfig:
     sensor: int = Sensor.RGBD
     loop_closing: bool = False  # attach the LoopCloser stage
+    localization_only: bool = False  # track against a frozen map
+    distributed_gba: bool = True  # landmark-sharded GBA when devices > 1
+    # observability (SURVEY §5.1/§5.5): per-stage timing + event log
+    profile: bool = False
+    profile_sync: bool = False  # block_until_ready per stage (attribution)
+    verbose_events: bool = False
     camera: CameraConfig = CameraConfig()
     orb: OrbConfig = OrbConfig()
     tracking: TrackingConfig = TrackingConfig()

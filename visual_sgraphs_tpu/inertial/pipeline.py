@@ -197,3 +197,59 @@ class ImuPipeline:
         T_pred, v_pred = predict_state(T_cw_last, self.vel, pre, self.T_bc)
         self.vel = v_pred
         return T_pred
+
+    def correct_velocity(self, T_cw_prev, T_cw_curr, dt: float) -> None:
+        """Re-anchor the frame velocity on the accepted *visual* pose delta
+        (the reference recomputes mVelocity / frame velocity from the
+        optimized pose after PoseOptimization, Tracking.cc:2361-2380) so
+        dead-reckoning error does not compound across the frames between
+        VI local BAs."""
+        if not self.initialized or dt <= 1e-6:
+            return
+        self.vel = _visual_velocity(
+            jnp.asarray(T_cw_prev), jnp.asarray(T_cw_curr), self.T_bc,
+            jnp.asarray(dt, jnp.float32),
+        )
+
+    # ------------------------------------------------------------ checkpoint
+
+    def export_state(self):
+        """Flat pytree of the pipeline's device state (for checkpointing).
+        Host-side sample buffers are transient and excluded by design."""
+        return {
+            "state": self.state,
+            "since_kf": self._since_kf,
+            "vel": self.vel,
+            "bias_g": self._cur_bias_g,
+            "bias_a": self._cur_bias_a,
+            "initialized": jnp.asarray(self.initialized),
+            "scale": jnp.asarray(self.scale, jnp.float32),
+            "last_t": jnp.asarray(
+                np.nan if self._last_t is None else self._last_t,
+                jnp.float64,
+            ),
+            "q_wg": (self.q_wg if self.q_wg is not None
+                     else jnp.full((4,), jnp.nan, jnp.float32)),
+        }
+
+    def import_state(self, tree) -> None:
+        self.state = tree["state"]
+        self._since_kf = tree["since_kf"]
+        self.vel = tree["vel"]
+        self._cur_bias_g = tree["bias_g"]
+        self._cur_bias_a = tree["bias_a"]
+        self.initialized = bool(tree["initialized"])
+        self.scale = float(tree["scale"])
+        lt = float(tree["last_t"])
+        self._last_t = None if np.isnan(lt) else lt
+        q = tree["q_wg"]
+        self.q_wg = None if bool(jnp.any(jnp.isnan(q))) else q
+        self._frame_samples = []
+
+
+@jax.jit
+def _visual_velocity(T_cw_prev, T_cw_curr, T_bc, dt):
+    """World-frame body velocity from two camera poses."""
+    p_prev = lie.se3_inverse(lie.se3_multiply(T_bc, T_cw_prev))[4:7]
+    p_curr = lie.se3_inverse(lie.se3_multiply(T_bc, T_cw_curr))[4:7]
+    return (p_curr - p_prev) / dt

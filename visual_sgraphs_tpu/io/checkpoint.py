@@ -4,12 +4,15 @@ Replaces the reference's boost::serialization Atlas archive
 (System::SaveAtlas/LoadAtlas, System.cc:1161/1217, MD5 via
 CalculateCheckSum :1280) — and goes further: the reference's checkpoint
 covers only the ORB-SLAM3 core state (scene-graph entities are *not*
-serialized, SURVEY §5.4); here the archive is the complete pytree — map,
-scene graph, BoW database rows and trajectory — so a resumed session has
-everything.
+serialized, SURVEY §5.4); here the archive is the complete session — active
+map, every stashed Atlas map with its place-recognition database, the scene
+graph, IMU pipeline state, trajectory and all host-side tracking counters —
+so a resumed session continues exactly where it stopped, including
+mid-multi-map recovery.
 
 Format: one ``.npz`` with a flattened pytree (every leaf a numpy array) plus
-a JSON manifest and an embedded MD5 of the payload bytes.
+a JSON manifest (with a ``version`` field checked on load) and an embedded
+MD5 of the payload bytes.
 """
 
 from __future__ import annotations
@@ -21,43 +24,98 @@ import json
 import jax
 import numpy as np
 
+FORMAT_VERSION = 2
 
-def _flatten(tag: str, tree) -> dict:
-    leaves, treedef = jax.tree.flatten(tree)
-    return (
-        {f"{tag}.{i}": np.asarray(l) for i, l in enumerate(leaves)},
-        str(treedef),
+
+def _put_tree(arrays: dict, tag: str, tree) -> int:
+    leaves, _ = jax.tree.flatten(tree)
+    for i, leaf in enumerate(leaves):
+        arrays[f"{tag}.{i}"] = np.asarray(leaf)
+    return len(leaves)
+
+
+def _get_tree(data, manifest_key_n: int, tag: str, template):
+    import jax.numpy as jnp
+
+    leaves = [jnp.asarray(data[f"{tag}.{i}"]) for i in range(manifest_key_n)]
+    _, treedef = jax.tree.flatten(template)
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def _put_db(arrays: dict, manifest: dict, tag: str, db, vocab) -> None:
+    if db is None:
+        return
+    arrays[f"{tag}.bow"] = np.asarray(db.bow)
+    arrays[f"{tag}.has_word"] = np.asarray(db.has_word)
+    arrays[f"{tag}.valid"] = np.asarray(db.valid)
+    if vocab is not None:
+        arrays[f"{tag}.idf"] = np.asarray(vocab.idf)
+        manifest[f"{tag}_vocab_levels"] = len(vocab.centers)
+        for i, c in enumerate(vocab.centers):
+            arrays[f"{tag}.level_{i}"] = np.asarray(c)
+
+
+def _get_db(data, manifest: dict, tag: str):
+    import jax.numpy as jnp
+
+    from visual_sgraphs_tpu.place.database import PlaceDB
+    from visual_sgraphs_tpu.place.vocab import VocabTree
+
+    if f"{tag}.bow" not in data:
+        return None, None
+    db = PlaceDB(
+        bow=jnp.asarray(data[f"{tag}.bow"]),
+        has_word=jnp.asarray(data[f"{tag}.has_word"]),
+        valid=jnp.asarray(data[f"{tag}.valid"]),
     )
+    vocab = None
+    if f"{tag}.idf" in data:
+        vocab = VocabTree(
+            centers=tuple(
+                jnp.asarray(data[f"{tag}.level_{i}"])
+                for i in range(manifest[f"{tag}_vocab_levels"])
+            ),
+            idf=jnp.asarray(data[f"{tag}.idf"]),
+        )
+    return db, vocab
 
 
 def save_checkpoint(path: str, system, scenegraph=None, loop_db=None):
     """Write the full session state. ``system``: SlamSystem."""
+    system.flush()
     arrays = {}
-    manifest = {"version": 1}
+    manifest = {"version": FORMAT_VERSION}
 
-    leaves, _ = jax.tree.flatten(system.map)
-    for i, l in enumerate(leaves):
-        arrays[f"map.{i}"] = np.asarray(l)
-    manifest["map_leaves"] = len(leaves)
+    manifest["map_leaves"] = _put_tree(arrays, "map", system.map)
 
     sg = scenegraph if scenegraph is not None else system.scenegraph
     if sg is not None:
-        sleaves, _ = jax.tree.flatten(sg.state)
-        for i, l in enumerate(sleaves):
-            arrays[f"sg.{i}"] = np.asarray(l)
-        manifest["sg_leaves"] = len(sleaves)
+        manifest["sg_leaves"] = _put_tree(arrays, "sg", sg.state)
 
     lc = loop_db if loop_db is not None else getattr(system, "loop_closer",
                                                     None)
     if lc is not None and lc.db is not None:
-        arrays["db.bow"] = np.asarray(lc.db.bow)
-        arrays["db.has_word"] = np.asarray(lc.db.has_word)
-        arrays["db.valid"] = np.asarray(lc.db.valid)
-        if lc.vocab is not None:
-            arrays["vocab.idf"] = np.asarray(lc.vocab.idf)
-            manifest["vocab_levels"] = len(lc.vocab.centers)
-            for i, c in enumerate(lc.vocab.centers):
-                arrays[f"vocab.level_{i}"] = np.asarray(c)
+        _put_db(arrays, manifest, "db", lc.db, lc.vocab)
+
+    # ---- Atlas stashed maps (multi-map elastic recovery state)
+    stashed = getattr(system, "atlas", None)
+    if stashed is not None:
+        manifest["atlas_n_maps_created"] = system.atlas.n_maps_created
+        manifest["atlas_stashed"] = []
+        for j, (epoch, m, db, vocab) in enumerate(system.atlas.stashed):
+            entry = {"epoch": epoch,
+                     "map_leaves": _put_tree(arrays, f"stash{j}.map", m)}
+            if db is not None:
+                _put_db(arrays, manifest, f"stash{j}.db", db, vocab)
+                entry["has_db"] = True
+            manifest["atlas_stashed"].append(entry)
+
+    # ---- IMU pipeline state
+    if getattr(system, "imu", None) is not None:
+        imu = system.imu
+        manifest["imu_state_leaves"] = _put_tree(
+            arrays, "imu.state", imu.export_state()
+        )
 
     traj = system.trajectory
     if traj:
@@ -68,13 +126,24 @@ def save_checkpoint(path: str, system, scenegraph=None, loop_db=None):
         arrays["traj.ref"] = np.asarray(
             [r for _, _, r, _, _ in traj], np.int32
         )
-        arrays["traj.rel"] = np.stack([p for _, _, _, p, _ in traj])
+        arrays["traj.rel"] = np.stack(
+            [np.asarray(p) for _, _, _, p, _ in traj]
+        )
         arrays["traj.tracked"] = np.asarray(
             [k for _, _, _, _, k in traj], bool
         )
     arrays["state.last_pose"] = np.asarray(system.last_pose)
     arrays["state.velocity"] = np.asarray(system.velocity)
     arrays["state.ref_kf"] = np.asarray(system.ref_kf)
+    manifest["host"] = {
+        "ref_kf_host": system.ref_kf_host,
+        "n_kf_host": system.n_kf_host,
+        "epoch": system.epoch,
+        "frames_since_kf": system.frames_since_kf,
+        "peak_inliers": system.peak_inliers,
+        "last_kf_inliers": system.last_kf_inliers,
+        "lost_frames": system.lost_frames,
+    }
 
     buf = _io.BytesIO()
     np.savez_compressed(buf, **arrays)
@@ -100,51 +169,80 @@ def load_checkpoint(path: str, system, scenegraph=None, loop_closer=None):
         payload = f.read()
     if hashlib.md5(payload).hexdigest() != manifest["md5"]:
         raise ValueError(f"checkpoint {path}: MD5 mismatch (corrupt file)")
+    version = manifest.get("version", 1)
+    if version > FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint {path}: format v{version} is newer than this "
+            f"library's v{FORMAT_VERSION}"
+        )
     data = np.load(_io.BytesIO(payload))
 
-    leaves = [jnp.asarray(data[f"map.{i}"])
-              for i in range(manifest["map_leaves"])]
-    _, treedef = jax.tree.flatten(system.map)
-    system.map = jax.tree.unflatten(treedef, leaves)
+    system.map = _get_tree(data, manifest["map_leaves"], "map", system.map)
 
     sg = scenegraph if scenegraph is not None else system.scenegraph
     if sg is not None and "sg_leaves" in manifest:
-        sleaves = [jnp.asarray(data[f"sg.{i}"])
-                   for i in range(manifest["sg_leaves"])]
-        _, sdef = jax.tree.flatten(sg.state)
-        sg.state = jax.tree.unflatten(sdef, sleaves)
+        sg.state = _get_tree(data, manifest["sg_leaves"], "sg", sg.state)
 
     lc = loop_closer if loop_closer is not None else getattr(
         system, "loop_closer", None)
     if lc is not None and "db.bow" in data:
-        from visual_sgraphs_tpu.place.database import PlaceDB
-        from visual_sgraphs_tpu.place.vocab import VocabTree
+        lc.db, vocab = _get_db(data, manifest, "db")
+        if vocab is not None:
+            lc.vocab = vocab
 
-        lc.db = PlaceDB(
-            bow=jnp.asarray(data["db.bow"]),
-            has_word=jnp.asarray(data["db.has_word"]),
-            valid=jnp.asarray(data["db.valid"]),
+    # ---- Atlas stashed maps
+    if "atlas_stashed" in manifest and getattr(system, "atlas", None) \
+            is not None:
+        system.atlas.stashed = []
+        system.atlas.n_maps_created = manifest.get(
+            "atlas_n_maps_created", 1
         )
-        if "vocab.idf" in data:
-            lc.vocab = VocabTree(
-                centers=tuple(
-                    jnp.asarray(data[f"vocab.level_{i}"])
-                    for i in range(manifest["vocab_levels"])
-                ),
-                idf=jnp.asarray(data["vocab.idf"]),
-            )
+        for j, entry in enumerate(manifest["atlas_stashed"]):
+            m = _get_tree(data, entry["map_leaves"], f"stash{j}.map",
+                          system.map)
+            db = vocab = None
+            if entry.get("has_db"):
+                db, vocab = _get_db(data, manifest, f"stash{j}.db")
+            system.atlas.stashed.append((entry["epoch"], m, db, vocab))
+
+    if "imu_state_leaves" in manifest and getattr(system, "imu", None) \
+            is not None:
+        system.imu.import_state(_get_tree(
+            data, manifest["imu_state_leaves"], "imu.state",
+            system.imu.export_state(),
+        ))
 
     if "traj.ts" in data:
-        system.trajectory = [
-            (float(t), int(e), int(r), p, bool(k))
-            for t, e, r, p, k in zip(
-                data["traj.ts"], data["traj.epoch"], data["traj.ref"],
-                data["traj.rel"], data["traj.tracked"],
-            )
-        ]
+        if "traj.epoch" in data:
+            system.trajectory = [
+                (float(t), int(e), int(r), jnp.asarray(p), bool(k))
+                for t, e, r, p, k in zip(
+                    data["traj.ts"], data["traj.epoch"], data["traj.ref"],
+                    data["traj.rel"], data["traj.tracked"],
+                )
+            ]
+        else:  # legacy v1 layout: (ts, pose, tracked) triples
+            system.trajectory = [
+                (float(t), 0, 0, jnp.asarray(p), bool(k))
+                for t, p, k in zip(
+                    data["traj.ts"], data["traj.pose"], data["traj.tracked"]
+                )
+            ]
     system.last_pose = jnp.asarray(data["state.last_pose"])
     system.velocity = jnp.asarray(data["state.velocity"])
     system.ref_kf = jnp.asarray(data["state.ref_kf"])
+    host = manifest.get("host")
+    if host is not None:
+        system.ref_kf_host = host["ref_kf_host"]
+        system.n_kf_host = host["n_kf_host"]
+        system.epoch = host["epoch"]
+        system.frames_since_kf = host["frames_since_kf"]
+        system.peak_inliers = host["peak_inliers"]
+        system.last_kf_inliers = host["last_kf_inliers"]
+        system.lost_frames = host["lost_frames"]
+    else:
+        system.ref_kf_host = int(system.ref_kf)
+        system.n_kf_host = int(system.map.n_kf)
     from visual_sgraphs_tpu.slam.system import TrackState
 
     if int(system.map.n_kf) > 0:

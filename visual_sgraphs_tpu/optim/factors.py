@@ -138,3 +138,54 @@ def plane_quadric(values, const):
     pi_local = plane_mod.transform(T_cw, pi_w)
     e = pi_local @ const["G"] @ pi_local
     return jnp.sqrt(jnp.maximum(e, 1e-12))[None]
+
+
+# ------------------------------------------------------------ rooms / doors
+
+
+def _room_pair_vec(w1, w2):
+    """Mid-surface anchor point of a facing wall pair — the reference's
+    getRoomCenter pair vector (Utils.cc:153-205) with the d<=0 direction
+    normalization (correctPlaneDirection, OptimizableTypes.h:497-501),
+    branch-free for jit."""
+    w1 = jnp.where(w1[3] > 0, -w1, w1)
+    w2 = jnp.where(w2[3] > 0, -w2, w2)
+    d1 = jnp.abs(w1[3])
+    d2 = jnp.abs(w2[3])
+    big = jnp.where(d1 > d2, w1, w2)
+    small = jnp.where(d1 > d2, w2, w1)
+    db, ds = jnp.abs(big[3]), jnp.abs(small[3])
+    return 0.5 * (db * big[:3] - ds * small[:3]) + ds * small[:3]
+
+
+def room_2wall(values, const):
+    """families: (room_center (3,), plane_w, plane_w); const: none.
+
+    Corridor-center-from-2-walls (EdgeVertex2PlaneProjectSE3Room,
+    OptimizableTypes.h:452-502): r = c − pairVec(w1, w2).  The room center
+    here is a free 3-dof point; the reference uses the translation of an
+    SE3 room vertex with the same 3-dim error."""
+    c, w1, w2 = values
+    return c - _room_pair_vec(w1, w2)
+
+
+def room_4wall(values, const):
+    """families: (room_center (3,), x1, x2, y1, y2 plane_w); const: none.
+
+    Room-center-from-4-walls (EdgeVertex4PlaneProjectSE3Room,
+    OptimizableTypes.h:508-557): r = c − (pairVec(x1,x2) + pairVec(y1,y2))."""
+    c, x1, x2, y1, y2 = values
+    return c - (_room_pair_vec(x1, x2) + _room_pair_vec(y1, y2))
+
+
+def door_room(values, const):
+    """families: (door_pose T_wd (7,), room_center (3,)); const: rel (3,)
+    measured door-minus-room offset.
+
+    Adaptation of EdgeSE3DoorProjectSE3Room (OptimizableTypes.h:266-290,
+    used at Optimizer.cc:461-498): the reference constrains the full
+    relative SE3 between room and door vertices to its value at graph
+    build; with the room reduced to a 3-dof center the rigid part is the
+    translation offset."""
+    T_wd, c = values
+    return (T_wd[4:7] - c) - const["rel"]

@@ -9,7 +9,9 @@ BASELINE.json's north star.
 """
 
 from visual_sgraphs_tpu.parallel.dist_ba import (  # noqa: F401
-    sharded_ba_step,
-    sharded_ba,
+    global_ba_sharded,
+    group_observations,
     make_mesh,
+    sharded_ba,
+    sharded_ba_grouped,
 )

@@ -1,24 +1,33 @@
-"""Observation-sharded bundle adjustment over a device mesh.
+"""Landmark-sharded bundle adjustment over a device mesh.
 
-The BA normal equations are a sum over observations — an embarrassingly
-reducible structure.  Each device holds a shard of the observation table
-(gathering its pose/point rows from replicated state), assembles *partial*
+The BA normal equations Schur-reduce landmark-by-landmark: with landmark n
+observed by keyframes k ∈ obs(n),
 
-- dense reduced Hessian/gradient over keyframe tangents,
-- per-landmark 3x3 blocks Hxx, bx and cross terms P,
+    S  =  H_pp  −  Σ_n  W_nᵀ Hxx_n⁻¹ W_n,      rhs analogous,
 
-and a single ``psum`` over the mesh axis completes the global normal
-equations; the Schur-reduced camera system (small, dense) is solved
-replicated on every device.  This mirrors how the scaling-book treats
-data-parallel reductions: shard the contraction, let one collective ride the
-ICI per step.  Landmark positions and keyframe poses update replicated.
+where every term of the Σ only involves landmark n's own observations.
+Sharding by LANDMARK therefore makes the whole reduction local: each device
+owns a contiguous landmark range (covisibility-contiguous when landmarks are
+ordered by creation keyframe, which the map naturally is), computes its
+partial dense reduced system (6K, 6K) **without ever materializing the
+(3N, 6K) coupling matrix**, and ONE ``psum`` over the mesh completes the
+global S — the single collective that rides the ICI per iteration.  The
+reduced camera solve is replicated (small, dense); landmark back-
+substitution is again local to each shard.
 
-The observation partition is by *covisibility block* when the caller orders
-observations by keyframe (contiguous keyframe ranges land on the same
-device, so gathers stay local-ish); any permutation is correct regardless.
+Per-device memory is O(N_local·O²) for the pairwise Schur blocks plus the
+replicated (6K, 6K) reduced system — at N=65k, O=8, K=256 that is ~150 MB,
+versus the O(N·K) dense coupling of a naive layout (~19 GB).
 
-No counterpart exists in the reference (it is single-process,
-SURVEY §2.7) — this is the TPU-native capability the rebuild adds.
+Observations are stored grouped per landmark: ``obs_kf (N, O)`` keyframe
+ids (−1 = empty slot), ``obs_uvr (N, O, 3)`` pixel coordinates (u, v, u_r;
+u_r < 0 means mono), ``obs_valid (N, O)``.  ``group_observations`` builds
+these from flat (obs_kf, obs_pt, uv) lists; ``global_ba_sharded`` builds
+them straight from a ``MapState`` and serves as the GBA backend of
+``SlamSystem`` (LoopClosing::RunGlobalBundleAdjustment, LoopClosing.cc:2141).
+
+No counterpart exists in the reference (it is single-process, SURVEY §2.7)
+— this is the TPU-native capability the rebuild adds.
 """
 
 from __future__ import annotations
@@ -42,156 +51,304 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.asarray(devs), (AXIS,))
 
 
-def _reproj_residual_jac(T_cw, X_w, uv, cam_K):
-    """Whitened mono reprojection residual + Jacobians wrt (pose, point)."""
-
-    def res(dpose, dpoint):
-        T = lie.se3_boxplus(T_cw, dpose)
-        X = X_w + dpoint
-        return cameras.project_pinhole(cam_K, lie.se3_apply(T, X)) - uv
-
-    z6 = jnp.zeros(6, T_cw.dtype)
-    z3 = jnp.zeros(3, T_cw.dtype)
-    r = res(z6, z3)
-    Jp, Jx = jax.jacfwd(res, argnums=(0, 1))(z6, z3)
-    return r, Jp, Jx
+# ---------------------------------------------------------------------------
+# observation grouping
+# ---------------------------------------------------------------------------
 
 
-def _local_normal_eqs(kf_pose, pt_pos, obs_kf, obs_pt, uv, valid, cam_K,
-                      huber: float):
-    """Partial normal equations from this device's observation shard."""
-    K = kf_pose.shape[0]
-    N = pt_pos.shape[0]
-    r, Jp, Jx = jax.vmap(
-        lambda k, p, u: _reproj_residual_jac(kf_pose[k], pt_pos[p], u, cam_K)
-    )(obs_kf, obs_pt, uv)
-    chi2 = jnp.sum(r * r, axis=-1)
-    w = jnp.where(valid, 1.0, 0.0)
-    w = w * jnp.minimum(1.0, huber / jnp.sqrt(jnp.maximum(chi2, 1e-12)))
+@functools.partial(jax.jit, static_argnames=("n_pt", "max_obs"))
+def group_observations(obs_kf, obs_pt, uvr, valid, n_pt: int,
+                       max_obs: int = 8):
+    """Flat observation lists -> per-landmark (N, O) tables.
 
-    Hpp = jnp.einsum("mri,mrj,m->mij", Jp, Jp, w)  # (m, 6, 6)
-    Hxx = jnp.einsum("mri,mrj,m->mij", Jx, Jx, w)  # (m, 3, 3)
-    Hpx = jnp.einsum("mri,mrj,m->mij", Jp, Jx, w)  # (m, 6, 3)
-    gp = jnp.einsum("mri,mr,m->mi", Jp, r, w)
-    gx = jnp.einsum("mri,mr,m->mi", Jx, r, w)
+    Each observation lands in its landmark's next free slot (rank within
+    the landmark = how many earlier list entries share the point, computed
+    with one sort + run-position pass — no host loop).  Overflow beyond
+    ``max_obs`` is dropped (report it via the returned count if it matters).
+    """
+    m = obs_kf.shape[0]
+    pt = jnp.where(valid, obs_pt, n_pt)  # invalid -> overflow bucket
+    order = jnp.argsort(pt, stable=True)
+    pt_sorted = pt[order]
+    pos = jnp.arange(m, dtype=jnp.int32)
+    first = jnp.searchsorted(pt_sorted, pt_sorted, side="left")
+    rank_sorted = pos - first.astype(jnp.int32)
+    rank = jnp.zeros((m,), jnp.int32).at[order].set(rank_sorted)
+    keep = valid & (rank < max_obs) & (obs_pt >= 0) & (obs_pt < n_pt)
+    row = jnp.where(keep, obs_pt, n_pt)
+    col = jnp.where(keep, rank, 0)
+    out_kf = jnp.full((n_pt + 1, max_obs), -1, jnp.int32).at[row, col].set(
+        jnp.where(keep, obs_kf, -1)
+    )[:n_pt]
+    out_uvr = jnp.zeros((n_pt + 1, max_obs, 3), uvr.dtype).at[row, col].set(
+        jnp.where(keep[:, None], uvr, 0.0)
+    )[:n_pt]
+    out_valid = jnp.zeros((n_pt + 1, max_obs), bool).at[row, col].set(
+        keep
+    )[:n_pt]
+    n_dropped = jnp.sum((valid & (rank >= max_obs)).astype(jnp.int32))
+    return out_kf, out_uvr, out_valid, n_dropped
 
-    # scatter into per-variable tables (local partial sums)
-    Hpp_t = jnp.zeros((K, 6, 6), r.dtype).at[obs_kf].add(Hpp)
-    gp_t = jnp.zeros((K, 6), r.dtype).at[obs_kf].add(gp)
-    Hxx_t = jnp.zeros((N, 3, 3), r.dtype).at[obs_pt].add(Hxx)
-    gx_t = jnp.zeros((N, 3), r.dtype).at[obs_pt].add(gx)
-    # cross blocks into the dense (3N x 6K) coupling, built as (N, 3, K, 6)
-    Pc = jnp.zeros((N, 3, K, 6), r.dtype).at[obs_pt, :, obs_kf, :].add(
-        jnp.swapaxes(Hpx, -1, -2)
+
+# ---------------------------------------------------------------------------
+# per-landmark local reduction
+# ---------------------------------------------------------------------------
+
+
+def _landmark_terms(kf_pose, X_w, kf_idx, uvr, ovalid, cam_K, bf, huber):
+    """All Schur terms of ONE landmark: per-observation residuals r (O, 3),
+    pose Jacobians Jp (O, 3, 6), point Jacobians Jx (O, 3, 3), weights."""
+    O = kf_idx.shape[0]
+    fx, fy, cx, cy = cam_K[0], cam_K[1], cam_K[2], cam_K[3]
+    T = kf_pose[jnp.maximum(kf_idx, 0)]  # (O, 7)
+    R = jax.vmap(lie.quat_to_matrix)(T[:, :4])  # (O, 3, 3)
+    p = jnp.einsum("oij,j->oi", R, X_w) + T[:, 4:7]  # (O, 3)
+    z = jnp.maximum(p[:, 2], 1e-6)
+    inv_z = 1.0 / z
+    u_hat = fx * p[:, 0] * inv_z + cx
+    v_hat = fy * p[:, 1] * inv_z + cy
+    has_ur = uvr[:, 2] > 0
+    ur_hat = u_hat - bf * inv_z
+    r = jnp.stack([
+        u_hat - uvr[:, 0],
+        v_hat - uvr[:, 1],
+        jnp.where(has_ur, ur_hat - uvr[:, 2], 0.0),
+    ], axis=1)  # (O, 3)
+    chi2 = jnp.sum(r * r, axis=1)
+    ok = ovalid & (kf_idx >= 0) & (p[:, 2] > 0.05)
+    w = jnp.where(ok, 1.0, 0.0) * jnp.minimum(
+        1.0, huber / jnp.sqrt(jnp.maximum(chi2, 1e-12))
     )
+    # d uv / d p (O, 3, 3)
+    zero = jnp.zeros_like(z)
+    Jp_p = jnp.stack([
+        jnp.stack([fx * inv_z, zero, -fx * p[:, 0] * inv_z * inv_z], 1),
+        jnp.stack([zero, fy * inv_z, -fy * p[:, 1] * inv_z * inv_z], 1),
+        jnp.stack([fx * inv_z, zero,
+                   (-fx * p[:, 0] + bf) * inv_z * inv_z], 1)
+        * has_ur[:, None],
+    ], axis=1)
+    # pose tangent: dp/dxi = [I | -hat(p)] (O, 3, 6)
+    hatp = jax.vmap(lie.hat)(p)
+    Jx_pose = jnp.concatenate([
+        jnp.broadcast_to(jnp.eye(3, dtype=p.dtype), (O, 3, 3)), -hatp
+    ], axis=2)
+    Jp = jnp.einsum("oij,ojk->oik", Jp_p, Jx_pose)  # (O, 3, 6) pose jac
+    Jx = jnp.einsum("oij,ojk->oik", Jp_p, R)  # (O, 3, 3) point jac
     cost = jnp.sum(w * chi2)
-    return Hpp_t, gp_t, Hxx_t, gx_t, Pc, cost
+    return r, Jp, Jx, w, cost
 
 
-def _schur_solve(Hpp_t, gp_t, Hxx_t, gx_t, Pc, lam, fixed_kf, valid_pt):
-    """Replicated Schur-complement solve of the *global* normal equations."""
-    K, N = Hpp_t.shape[0], Hxx_t.shape[0]
-    dtype = gp_t.dtype
-    eye6 = jnp.eye(6, dtype=dtype)
+def _local_reduced_system(kf_pose, pt_shard, kf_tab, uvr_tab, val_tab,
+                          cam_K, bf, lam, huber):
+    """This shard's partial dense reduced system + landmark factor cache.
+
+    Returns (S_partial (6K, 6K), rhs_partial (6K,), L (n, 3, 3) cholesky of
+    damped Hxx, c (n, 3) = L⁻¹ bx, C (n, O, 3, 6) = L⁻¹ Wᵀ, cost)."""
+    K = kf_pose.shape[0]
+    n, O = kf_tab.shape
+    r, Jp, Jx, w, cost = jax.vmap(
+        lambda X, ki, uv, ov: _landmark_terms(
+            kf_pose, X, ki, uv, ov, cam_K, bf, huber
+        )
+    )(pt_shard, kf_tab, uvr_tab, val_tab)
+    # r (n,O,3)  Jp (n,O,3,6)  Jx (n,O,3,3)  w (n,O)
+    cost = jnp.sum(cost)
+
+    Hpp = jnp.einsum("nori,norj,no->noij", Jp, Jp, w)  # (n, O, 6, 6)
+    Hxx = jnp.einsum("nori,norj,no->nij", Jx, Jx, w)  # (n, 3, 3)
+    W = jnp.einsum("nori,norj,no->noij", Jp, Jx, w)  # (n, O, 6, 3)
+    gp = jnp.einsum("nori,nor,no->noi", Jp, r, w)  # (n, O, 6)
+    bx = jnp.einsum("nori,nor,no->ni", Jx, r, w)  # (n, 3)
+
+    dtype = r.dtype
     eye3 = jnp.eye(3, dtype=dtype)
-    dp = jnp.clip(jnp.diagonal(Hpp_t, axis1=-2, axis2=-1), 1e-6, None)
-    dx = jnp.clip(jnp.diagonal(Hxx_t, axis1=-2, axis2=-1), 1e-6, None)
-    Hpp_t = Hpp_t + (lam * dp + 1e-5)[..., None] * eye6
-    Hxx_t = Hxx_t + (lam * dx + 1e-5)[..., None] * eye3
-
-    # dense reduced system over keyframes
-    D = 6 * K
-    H = _blockdiag(Hpp_t)
-    g = gp_t.reshape(D)
-    L = jnp.linalg.cholesky(Hxx_t)  # (N, 3, 3)
-    Pmat = Pc.reshape(N, 3, D)
-    B = jax.vmap(
-        lambda Li, Pi: jax.scipy.linalg.solve_triangular(Li, Pi, lower=True)
-    )(L, Pmat)
+    dx = jnp.clip(jnp.diagonal(Hxx, axis1=-2, axis2=-1), 1e-6, None)
+    Hxx = Hxx + (lam * dx + 1e-5)[..., None] * eye3
+    L = jnp.linalg.cholesky(Hxx)  # (n, 3, 3)
+    C = jax.vmap(
+        lambda Li, Wi: jnp.moveaxis(
+            jax.scipy.linalg.solve_triangular(
+                # (3, O*6) stack of all W_aᵀ columns, solved in one call
+                Li, jnp.transpose(Wi, (2, 0, 1)).reshape(3, -1), lower=True
+            ).reshape(3, O, 6),
+            1, 0,
+        )
+    )(L, W)  # (n, O, 3, 6): C_a = L⁻¹ W_aᵀ
     c = jax.vmap(
         lambda Li, bi: jax.scipy.linalg.solve_triangular(Li, bi, lower=True)
-    )(L, gx_t)
-    S = H - jnp.einsum("nrd,nre->de", B, B)
-    rhs = -g + jnp.einsum("nrd,nr->d", B, c)
+    )(L, bx)  # (n, 3)
 
-    free = jnp.repeat(~fixed_kf, 6).astype(dtype)
-    S = S * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
-    rhs = rhs * free
-    cf = jax.scipy.linalg.cho_factor(S, lower=True)
-    dxr = jax.scipy.linalg.cho_solve(cf, rhs) * free
+    kf_safe = jnp.maximum(kf_tab, 0)  # (n, O)
+    slot_ok = val_tab & (kf_tab >= 0)
 
-    y = c + jnp.einsum("nrd,d->nr", B, dxr)
-    dxe = -jax.vmap(
-        lambda Li, yi: jax.scipy.linalg.solve_triangular(Li.T, yi, lower=False)
-    )(L, y)
-    dxe = jnp.where(valid_pt[:, None], dxe, 0.0)
-    return dxr.reshape(K, 6), dxe
-
-
-def _blockdiag(blocks: jax.Array) -> jax.Array:
-    """(K, t, t) -> (K*t, K*t) block-diagonal, vectorized."""
-    K, t, _ = blocks.shape
-    out = jnp.zeros((K, t, K, t), blocks.dtype)
-    out = out.at[jnp.arange(K), :, jnp.arange(K), :].set(blocks)
-    return out.reshape(K * t, K * t)
-
-
-def sharded_ba_step(
-    kf_pose, pt_pos, obs_kf, obs_pt, uv, valid, cam_K,
-    fixed_kf, valid_pt, mesh: Mesh, lam=1e-4, huber: float = 2.45,
-):
-    """One Gauss-Newton step with the observation table sharded over
-    ``mesh``.  Returns (new_kf_pose, new_pt_pos, cost).
-    """
-
-    def step(kf_pose, pt_pos, obs_kf, obs_pt, uv, valid):
-        parts = _local_normal_eqs(
-            kf_pose, pt_pos, obs_kf, obs_pt, uv, valid, cam_K,
-            huber,
-        )
-        # one collective completes the global normal equations
-        Hpp_t, gp_t, Hxx_t, gx_t, Pc, cost = jax.tree.map(
-            lambda x: jax.lax.psum(x, AXIS), parts
-        )
-        dxr, dxe = _schur_solve(
-            Hpp_t, gp_t, Hxx_t, gx_t, Pc,
-            jnp.asarray(lam, gp_t.dtype), fixed_kf, valid_pt,
-        )
-        new_pose = jax.vmap(lie.se3_boxplus)(
-            kf_pose, jnp.where(fixed_kf[:, None], 0.0, dxr)
-        )
-        new_pts = pt_pos + dxe
-        return new_pose, new_pts, cost
-
-    sharded = jax.shard_map(
-        step,
-        mesh=mesh,
-        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=(P(), P(), P()),
-        check_vma=False,
+    # dense reduced system as (K, 6, K, 6)
+    S = jnp.zeros((K, 6, K, 6), dtype)
+    # diagonal H_pp blocks per observation
+    S = S.at[kf_safe, :, kf_safe, :].add(
+        jnp.where(slot_ok[..., None, None], Hpp, 0.0)
     )
-    return sharded(kf_pose, pt_pos, obs_kf, obs_pt, uv, valid)
+    # minus the pairwise Schur blocks  Σ_ab C_aᵀ C_b  at (kf_a, kf_b)
+    CC = jnp.einsum("nair,nbis->nabrs", C, C)  # (n, O, O, 6, 6)
+    pair_ok = slot_ok[:, :, None] & slot_ok[:, None, :]
+    ka = jnp.broadcast_to(kf_safe[:, :, None], (n, O, O))
+    kb = jnp.broadcast_to(kf_safe[:, None, :], (n, O, O))
+    S = S.at[ka, :, kb, :].add(
+        jnp.where(pair_ok[..., None, None], -CC, 0.0)
+    )
+    rhs = jnp.zeros((K, 6), dtype)
+    rhs = rhs.at[kf_safe].add(jnp.where(slot_ok[..., None], -gp, 0.0))
+    # + Σ_a C_aᵀ c_n
+    Cc = jnp.einsum("nair,ni->nar", C, c)  # (n, O, 6)
+    rhs = rhs.at[kf_safe].add(jnp.where(slot_ok[..., None], Cc, 0.0))
+    return S.reshape(6 * K, 6 * K), rhs.reshape(6 * K), L, c, C, cost
+
+
+def _back_substitute(L, c, C, kf_tab, val_tab, dxr6):
+    """Per-landmark update given the reduced solve: dx_n = −L⁻ᵀ(c + Σ_a
+    C_a dxi_{kf_a})."""
+    kf_safe = jnp.maximum(kf_tab, 0)
+    slot_ok = val_tab & (kf_tab >= 0)
+    dpose = dxr6[kf_safe] * slot_ok[..., None]  # (n, O, 6)
+    y = c + jnp.einsum("nair,nar->ni", C, dpose)
+    dxe = -jax.vmap(
+        lambda Li, yi: jax.scipy.linalg.solve_triangular(
+            Li.T, yi, lower=False
+        )
+    )(L, y)
+    return jnp.where(jnp.isfinite(dxe), dxe, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# sharded solver
+# ---------------------------------------------------------------------------
+
+
+def sharded_ba_grouped(
+    kf_pose, pt_pos, kf_tab, uvr_tab, val_tab, cam_K,
+    fixed_kf, valid_pt, mesh: Mesh, iters: int = 10, lam=1e-4,
+    bf: float = 0.0, huber: float = 2.45,
+):
+    """Gauss-Newton loop with landmarks sharded over ``mesh``.
+
+    ``pt_pos/kf_tab/uvr_tab/val_tab/valid_pt`` are sharded along N (pad N
+    to a multiple of the mesh size); poses are replicated.  Returns
+    (kf_pose, pt_pos, costs (iters,)).
+    """
+    K = kf_pose.shape[0]
+
+    def step_body(kf_pose, pt_shard, kf_tab, uvr_tab, val_tab, valid_pt):
+        def one_iter(carry, _):
+            pose, pts = carry
+            S, rhs, L, c, C, cost = _local_reduced_system(
+                pose, pts, kf_tab, uvr_tab, val_tab, cam_K,
+                jnp.asarray(bf, pts.dtype), jnp.asarray(lam, pts.dtype),
+                huber,
+            )
+            # ONE collective completes the global reduced system
+            S = jax.lax.psum(S, AXIS)
+            rhs = jax.lax.psum(rhs, AXIS)
+            cost = jax.lax.psum(cost, AXIS)
+            # replicated damped solve over keyframe tangents
+            diag = jnp.clip(jnp.diagonal(S), 1e-6, None)
+            S = S + jnp.diag(lam * diag + 1e-5)
+            free = jnp.repeat(~fixed_kf, 6).astype(S.dtype)
+            S = S * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+            rhs = rhs * free
+            cf = jax.scipy.linalg.cho_factor(S, lower=True)
+            dxr = jax.scipy.linalg.cho_solve(cf, rhs)
+            dxr = jnp.where(jnp.isfinite(dxr), dxr, 0.0) * free
+            dxr6 = dxr.reshape(K, 6)
+            new_pose = jax.vmap(lie.se3_boxplus)(
+                pose, jnp.where(fixed_kf[:, None], 0.0, dxr6)
+            )
+            new_pose = jax.vmap(lie.se3_normalize)(new_pose)
+            # local landmark back-substitution
+            dxe = _back_substitute(L, c, C, kf_tab, val_tab, dxr6)
+            new_pts = pts + jnp.where(valid_pt[:, None], dxe, 0.0)
+            return (new_pose, new_pts), cost
+
+        (pose, pts), costs = jax.lax.scan(
+            one_iter, (kf_pose, pt_shard), None, length=iters
+        )
+        return pose, pts, costs
+
+    sharded = jax.jit(jax.shard_map(
+        step_body,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(), P(AXIS), P()),
+        check_vma=False,
+    ))
+    return sharded(kf_pose, pt_pos, kf_tab, uvr_tab, val_tab, valid_pt)
+
+
+def _pad_to(x, n, fill=0):
+    pad = n - x.shape[0]
+    if pad <= 0:
+        return x
+    shape = (pad,) + x.shape[1:]
+    return jnp.concatenate([x, jnp.full(shape, fill, x.dtype)], axis=0)
 
 
 def sharded_ba(
     kf_pose, pt_pos, obs_kf, obs_pt, uv, valid, cam_K,
     fixed_kf, valid_pt, mesh: Mesh, iters: int = 10, lam=1e-4,
+    max_obs: int = 8, bf: float = 0.0,
 ):
-    """Fixed-schedule Gauss-Newton loop of sharded steps (jit once)."""
-
-    @jax.jit
-    def run(kf_pose, pt_pos):
-        def body(carry, _):
-            pose, pts = carry
-            pose, pts, cost = sharded_ba_step(
-                pose, pts, obs_kf, obs_pt, uv, valid, cam_K,
-                fixed_kf, valid_pt, mesh, lam,
-            )
-            return (pose, pts), cost
-
-        (pose, pts), costs = jax.lax.scan(
-            body, (kf_pose, pt_pos), None, length=iters
+    """Flat-observation front end: group per landmark, pad N to the mesh,
+    run the landmark-sharded solver.  Returns (pose, points, costs)."""
+    n_pt = pt_pos.shape[0]
+    if uv.shape[-1] == 2:
+        uvr = jnp.concatenate(
+            [uv, jnp.full(uv.shape[:-1] + (1,), -1.0, uv.dtype)], axis=-1
         )
-        return pose, pts, costs
+    else:
+        uvr = uv
+    kf_tab, uvr_tab, val_tab, _ = group_observations(
+        obs_kf, obs_pt, uvr, valid, n_pt, max_obs
+    )
+    n_dev = mesh.devices.size
+    n_pad = -(-n_pt // n_dev) * n_dev
+    pose, pts, costs = sharded_ba_grouped(
+        kf_pose,
+        _pad_to(pt_pos, n_pad),
+        _pad_to(kf_tab, n_pad, -1),
+        _pad_to(uvr_tab, n_pad),
+        _pad_to(val_tab, n_pad, False),
+        cam_K, fixed_kf,
+        _pad_to(valid_pt, n_pad, False),
+        mesh, iters=iters, lam=lam, bf=bf,
+    )
+    return pose, pts[:n_pt], costs
 
-    return run(kf_pose, pt_pos)
+
+def global_ba_sharded(m, cam_K, cam_bf, mesh: Mesh, iters: int = 10,
+                      max_obs: int = 8):
+    """Distributed GBA straight from a ``MapState`` — the multi-chip backend
+    of LoopClosing::RunGlobalBundleAdjustment (LoopClosing.cc:2141).
+    Returns the updated map."""
+    K, F = m.K, m.F
+    obs = m.kf_obs_pt  # (K, F)
+    ok = m.kf_kp_valid & m.kf_valid[:, None] & (obs >= 0)
+    safe = jnp.maximum(obs, 0)
+    ok = ok & m.pt_valid[safe]
+    kf_rows = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[:, None], obs.shape
+    )
+    uv = m.kf_uv.reshape(-1, 2)
+    depth = m.kf_depth.reshape(-1)
+    ur = jnp.where(
+        depth > 0, uv[:, 0] - cam_bf / jnp.maximum(depth, 1e-3), -1.0
+    )
+    uvr = jnp.concatenate([uv, ur[:, None]], axis=1)
+    fixed = (~m.kf_valid) | (jnp.arange(K) == 0)
+    pose, pts, costs = sharded_ba(
+        m.kf_pose, m.pt_pos, kf_rows.reshape(-1), safe.reshape(-1),
+        uvr, ok.reshape(-1), cam_K, fixed, m.pt_valid, mesh,
+        iters=iters, max_obs=max_obs, bf=float(cam_bf),
+    )
+    return m._replace(
+        kf_pose=jnp.where(fixed[:, None], m.kf_pose, pose),
+        pt_pos=jnp.where(m.pt_valid[:, None], pts, m.pt_pos),
+    ), costs

@@ -34,7 +34,6 @@ from visual_sgraphs_tpu.slam.map_state import (
     MapState,
     covisibility_counts,
 )
-from visual_sgraphs_tpu.slam.tracking import _pose_only_solve
 
 
 # --------------------------------------------------------------- device ops
@@ -73,11 +72,15 @@ def _loop_geometry(m: MapState, cur: jax.Array, cand: jax.Array,
 
 @jax.jit
 def _reloc_attempt(m: MapState, frame: FrameObs, cand: jax.Array,
-                   cam_K: jax.Array):
+                   cam_K: jax.Array, key: jax.Array):
     """Relocalization against one candidate keyframe: descriptor NN to the
-    candidate's map points, then the 4x10 motion-only LM with chi2 gating
-    (the reference's MLPnP+PoseOptimization loop, Tracking.cc:3732+).
+    candidate's map points, batched PnP RANSAC for the initial pose, then
+    the motion-only GN refinement — the reference's MLPnP+PoseOptimization
+    loop (Tracking.cc:3732+, MLPnPsolver.cpp), pose-independent so loops
+    with real viewpoint change relocalize too.
     Returns (pose (7,), n_inliers ())."""
+    from visual_sgraphs_tpu.place.pnp import ransac_pnp
+
     obs_b = m.kf_obs_pt[cand]
     vb = m.kf_kp_valid[cand] & (obs_b >= 0)
     match, _ = match_nn_ratio(frame.desc, frame.valid, m.kf_desc[cand], vb,
@@ -86,10 +89,8 @@ def _reloc_attempt(m: MapState, frame: FrameObs, cand: jax.Array,
     pt = jnp.maximum(obs_b[jnp.maximum(match, 0)], 0)
     ok = ok & m.pt_valid[pt]
     xw = m.pt_pos[pt]
-    pose, inl = _pose_only_solve(
-        m.kf_pose[cand], xw, frame.uv, ok, cam_K, rounds=4, iters=10
-    )
-    return pose, jnp.sum(ok & inl).astype(jnp.int32)
+    res = ransac_pnp(xw, frame.uv, ok, cam_K, key, n_hyp=192)
+    return res.T_cw, res.n_inliers
 
 
 @jax.jit
@@ -111,7 +112,7 @@ _backfill_bow = jax.jit(
 
 def reloc_in_map(m: MapState, db: db_mod.PlaceDB,
                  vocab: vocab_mod.VocabTree, frame: FrameObs,
-                 cam_K, min_inliers: int, top_n: int = 3):
+                 cam_K, min_inliers: int, top_n: int = 3, seed: int = 0):
     """Relocalize ``frame`` against an arbitrary (map, database, vocab)
     triple — used both for in-map relocalization and for Atlas merge /
     resume detection against stashed maps.  Returns (pose (7,), kf_id) or
@@ -120,11 +121,12 @@ def reloc_in_map(m: MapState, db: db_mod.PlaceDB,
     cand_ids, _ = db_mod.detect_candidates(
         db, bow, ~m.kf_valid, min_common_ratio=0.5, top_n=top_n
     )
-    for cid in np.asarray(cand_ids):
+    for j, cid in enumerate(np.asarray(cand_ids)):
         if cid < 0:
             continue
         pose, n_inl = _reloc_attempt(
-            m, frame, jnp.asarray(int(cid), jnp.int32), cam_K
+            m, frame, jnp.asarray(int(cid), jnp.int32), cam_K,
+            jax.random.PRNGKey(seed * 131 + j),
         )
         if int(n_inl) >= min_inliers:
             return lie.se3_normalize(pose), int(cid)
@@ -275,7 +277,7 @@ class LoopCloser:
             m.kf_pose, m.kf_valid, edges,
             loop_i=jnp.asarray(best, jnp.int32), loop_j=kf,
             S_loop_ji=lie.sim3_inverse(S_cand_cur),
-            fixed=fixed, iters=self.cfg.pgo_iters,
+            fixed=fixed, iters=self.cfg.pgo_iters, fix_scale=fix_scale,
         )
         system.map = pgo.correct_map(m, result)
         # fuse duplicate landmarks in the welded region (SearchAndFuse)
@@ -283,10 +285,7 @@ class LoopCloser:
             system.map, kf, system.cam_K
         )
         if self.cfg.gba_after_loop:
-            system.map, _ = mapping.global_ba(
-                system.map, system.cam_K, system.cam_bf,
-                iters=self.cfg.gba_iters,
-            )
+            system.run_global_ba(iters=self.cfg.gba_iters)
         self.n_loops_closed += 1
         self.last_loop = (int(kf), best)
         self._consistent_count = 0

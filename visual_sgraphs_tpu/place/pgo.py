@@ -83,7 +83,7 @@ class PgoResult(NamedTuple):
     cost: jax.Array
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "fix_scale"))
 def optimize_essential_graph(
     kf_pose: jax.Array,
     kf_valid: jax.Array,
@@ -93,6 +93,7 @@ def optimize_essential_graph(
     S_loop_ji: jax.Array,
     fixed: jax.Array,
     iters: int = 20,
+    fix_scale: bool = False,
 ) -> PgoResult:
     """Sim3 pose-graph solve.
 
@@ -100,6 +101,9 @@ def optimize_essential_graph(
     shape); the loop edge carries the Sim3 from geometric verification.  The
     reference's schedule is 20 iterations (Optimizer.cc:2682-2684).
     ``fixed``: (K,) bool gauge keyframes (the loop-candidate side).
+    ``fix_scale``: stereo/RGB-D sensors observe scale directly, so the
+    per-keyframe scale DoF is frozen (the reference's bFixScale template
+    parameter of OptimizeEssentialGraph).
     """
     K = kf_pose.shape[0]
     S_old = jax.vmap(lie.sim3_from_se3)(kf_pose)  # (K, 8), scale 1
@@ -131,10 +135,23 @@ def optimize_essential_graph(
         valid=valid_all,
     )
     fam = sim3_family(S_old, fixed=fixed | ~kf_valid)
+    if fix_scale:
+        # zero the scale component of every tangent update (bFixScale)
+        import dataclasses as _dc
+
+        fam = _dc.replace(
+            fam,
+            retract=lambda v, d: lie.sim3_boxplus(v, d.at[..., 6].set(0.0)),
+        )
     problem = GraphProblem(families={"kf": fam}, factors=[batch])
     res = optimize(problem, iters=iters)
     S_new = jax.vmap(lie.sim3_normalize)(res.values["kf"])
-    kf_new = jax.vmap(lie.sim3_to_se3)(S_new)
+    # Sim3 -> SE3 as [R, t/s]: the optimized Siw acts on world points as
+    # s·R·X + t, so the camera centre (and hence the SE3 pose) carries t/s
+    # (Optimizer.cc OptimizeEssentialGraph CorrectedSiw -> Tiw conversion).
+    kf_new = jnp.concatenate(
+        [S_new[:, :4], S_new[:, 4:7] / S_new[:, 7:8]], axis=1
+    )
     kf_new = jnp.where(kf_valid[:, None], kf_new, kf_pose)
     return PgoResult(kf_pose=kf_new, S_old=S_old, S_new=S_new,
                      cost0=res.initial_cost, cost=res.cost)

@@ -1,22 +1,33 @@
-"""Joint scene-graph bundle adjustment: keyframes + points + planes.
+"""Joint scene-graph bundle adjustment: keyframes + points + planes +
+rooms + doors.
 
 The vS-Graphs extension of local BA (Optimizer::LocalBundleAdjustment with
-plane/room vertices and factors, Optimizer.cc:1454-2455): plane vertices use
-the minimal azimuth/elevation/distance chart (g2o VertexPlane equivalent),
-and two factor types couple them to the visual graph:
+plane/room/door vertices and factors, Optimizer.cc:1454-2455): plane
+vertices use the minimal azimuth/elevation/distance chart (g2o VertexPlane
+equivalent), and the full factor set couples them to the visual graph:
 
 - plane-KF observation factors ``(T_kf · π_world) ⊖ π_measured`` weighted by
   observation confidence (EdgeVertexPlaneProjectSE3KF,
   OptimizableTypes.h:336-374, added at Optimizer.cc:2087-2101);
+- plane-point quadric factors ``e = πᵀ_local G_ij π_local`` with the Gij
+  point quadric accumulated per observation (EdgeSE3KFPointToPlane,
+  OptimizableTypes.h:296-330, added at Optimizer.cc:2112-2127;
+  accumulation GeoSemHelpers.cc:24-35) — gated by the
+  ``plane_point_factor`` config (SystemParams optimization.plane_point);
 - point-on-plane factors tying map points near a plane to its surface
   (EdgeVertexPlaneProjectPointXYZ, OptimizableTypes.h:379-399, added at
-  Optimizer.cc:2049-2059).
+  Optimizer.cc:2049-2059) — gated by ``plane_map_point_factor``;
+- room-center factors: corridor-center-from-2-walls and
+  room-center-from-4-walls (EdgeVertex2/4PlaneProjectSE3Room,
+  OptimizableTypes.h:452-557, added at Optimizer.cc:2184-2215) with room
+  centers as free 3-dof vertices;
+- door-room rigidity factors (EdgeSE3DoorProjectSE3Room,
+  OptimizableTypes.h:266-290, Optimizer.cc:461-498) keeping each door at
+  its build-time offset from its nearest room center.
 
-Room center factors (2-wall corridor / 4-wall room closed forms,
-OptimizableTypes.h:452-557) are enforced in closed form after the solve —
-the room center is a *derived* quantity of its wall planes (getRoomCenter),
-so re-deriving it post-BA matches the reference's fixed-point behaviour
-without adding gauge-free vertices.
+Outlier handling matches the reference's chi2 erasure after the solve
+(Optimizer.cc:2290-2380): plane observations whose plane-KF chi2 exceeds
+the gate are invalidated in the observation table.
 """
 
 from __future__ import annotations
@@ -27,6 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from visual_sgraphs_tpu.config import SceneGraphConfig
+from visual_sgraphs_tpu.core import plane as plane_mod
 from visual_sgraphs_tpu.optim import (
     FactorBatch,
     GraphProblem,
@@ -36,16 +49,18 @@ from visual_sgraphs_tpu.optim import (
     point_family,
     se3_family,
 )
+from visual_sgraphs_tpu.optim.graph import batch_chi2
 from visual_sgraphs_tpu.scenegraph.state import SceneGraphState
 from visual_sgraphs_tpu.slam.map_state import MapState, covisibility_counts
 
 CHI2_MONO = 5.991
 CHI2_STEREO = 7.815
 CHI2_PLANE = 7.815  # plane-KF gate (Optimizer.cc:2344)
+CHI2_PLANE_POINT = 3.841  # plane-point gate (Optimizer.cc:2357)
 
 
 @functools.partial(jax.jit, static_argnames=("n_window", "n_local_pts",
-                                             "iters"))
+                                             "iters", "config"))
 def scenegraph_local_ba(
     m: MapState,
     sg: SceneGraphState,
@@ -56,12 +71,15 @@ def scenegraph_local_ba(
     n_window: int = 10,
     n_local_pts: int = 8192,
     iters: int = 10,
+    config: SceneGraphConfig = SceneGraphConfig(),
 ) -> tuple[MapState, SceneGraphState, jax.Array]:
-    """Local BA with plane vertices and plane-KF factors.
+    """Local BA with plane/room/door vertices and the vS-Graphs factor set.
 
     Returns (map, scenegraph, final_cost).  Planes observed by local
     keyframes are free variables; others fixed.  Writes back keyframe poses,
-    point positions and plane equations (Optimizer.cc:2416-2454).
+    point positions, plane equations, room centers and door poses
+    (Optimizer.cc:2416-2454), and erases plane observations that fail the
+    chi2 gate (:2344-2370).
     """
     if plane_info is None:
         plane_info = jnp.asarray(1.0, jnp.float32)
@@ -138,13 +156,13 @@ def scenegraph_local_ba(
     )
     ob_local_kf = kf_inv[jnp.clip(sg.ob_kf, 0, m.K - 1)]
     ob_use = sg.ob_valid & (sg.ob_plane >= 0) & (ob_local_kf >= 0)
-    Q = sg.ob_kf.shape[0]
     plane_var_idx = jnp.stack(
         [jnp.maximum(ob_local_kf, 0),
          jnp.maximum(sg.ob_plane, 0)], axis=1
     ).astype(jnp.int32)
-    batches.append(
-        FactorBatch(
+    plane_kf_batch = None
+    if config.plane_kf_factor:
+        plane_kf_batch = FactorBatch(
             families=("kf", "plane"),
             residual_fn=factors.plane_kf,
             res_dim=3,
@@ -155,13 +173,122 @@ def scenegraph_local_ba(
             huber=float(np.sqrt(CHI2_PLANE)),
             chi2_gate=CHI2_PLANE,
         )
-    )
+        batches.append(plane_kf_batch)
+
+    # ---- plane-point quadric factors (Gij), one per observation
+    if config.plane_point_factor:
+        # info scales with the observation's supporting mass through the
+        # normalized quadric trace; the config gain balances px² vs m² units
+        batches.append(FactorBatch(
+            families=("kf", "plane"),
+            residual_fn=factors.plane_quadric,
+            res_dim=1,
+            var_idx=plane_var_idx,
+            const={"G": sg.ob_quadric},
+            info=plane_info * jnp.full(
+                (sg.ob_kf.shape[0],), config.plane_point_info, jnp.float32
+            ),
+            valid=ob_use & (jnp.einsum("qii->q", sg.ob_quadric) > 1e-6),
+            huber=float(np.sqrt(CHI2_PLANE_POINT)),
+            chi2_gate=CHI2_PLANE_POINT,
+        ))
+
+    # ---- point-on-plane factors: local map points lying on a valid plane
+    # (octree membership Plane.cc:81-140 approximated by distance-to-plane
+    # plus centroid radius)
+    if config.plane_map_point_factor:
+        p_local = m.pt_pos[safe_pt]  # (n_local_pts, 3)
+        pd = jnp.abs(
+            jnp.einsum("pi,ni->pn", sg.pl_coeffs[:, :3], p_local)
+            + sg.pl_coeffs[:, 3:4]
+        )  # (P, n_local_pts)
+        cd = jnp.linalg.norm(
+            p_local[None, :, :] - sg.pl_centroid[:, None, :], axis=-1
+        )
+        onpl = (pd < config.plane_map_point_dist) & (cd < 3.0) & \
+            sg.pl_valid[:, None]
+        best_plane = jnp.argmin(
+            jnp.where(onpl, pd, jnp.inf), axis=0
+        ).astype(jnp.int32)
+        pt_on = pt_ok & jnp.any(onpl, axis=0)
+        pp_var_idx = jnp.stack(
+            [best_plane, jnp.arange(n_local_pts, dtype=jnp.int32)], axis=1
+        )
+        batches.append(FactorBatch(
+            families=("plane", "pt"),
+            residual_fn=factors.point_on_plane,
+            res_dim=1,
+            var_idx=pp_var_idx,
+            const={},
+            info=plane_info * jnp.full(
+                (n_local_pts,), config.plane_map_point_info, jnp.float32
+            ),
+            valid=pt_on,
+            huber=float(np.sqrt(CHI2_PLANE_POINT)),
+            chi2_gate=CHI2_PLANE_POINT,
+        ))
 
     # planes observed by a local KF are free; everything else fixed
     plane_seen = jnp.zeros((sg.P,), bool).at[
         jnp.where(ob_use, sg.ob_plane, sg.P - 1)
     ].set(ob_use, mode="drop")
     plane_fixed = ~(plane_seen & sg.pl_valid)
+
+    # ---- room-center factors (2-wall corridor / 4-wall room)
+    R = sg.room_valid.shape[0]
+    rw = jnp.clip(sg.room_walls, 0, sg.P - 1)
+    walls_ok = sg.room_walls >= 0
+    is4 = sg.room_valid & jnp.all(walls_ok, axis=1)
+    is2 = sg.room_valid & walls_ok[:, 0] & walls_ok[:, 1] & ~is4
+    room_idx = jnp.arange(R, dtype=jnp.int32)
+    if config.room_factor:
+        batches.append(FactorBatch(
+            families=("room", "plane", "plane", "plane", "plane"),
+            residual_fn=factors.room_4wall,
+            res_dim=3,
+            var_idx=jnp.concatenate([room_idx[:, None], rw], axis=1),
+            const={},
+            info=jnp.full((R,), config.room_info, jnp.float32),
+            valid=is4,
+            huber=1.0,
+        ))
+        batches.append(FactorBatch(
+            families=("room", "plane", "plane"),
+            residual_fn=factors.room_2wall,
+            res_dim=3,
+            var_idx=jnp.concatenate([room_idx[:, None], rw[:, :2]], axis=1),
+            const={},
+            info=jnp.full((R,), config.room_info, jnp.float32),
+            valid=is2,
+            huber=1.0,
+        ))
+    room_fixed = ~(sg.room_valid & (is2 | is4))
+
+    # ---- door-room rigidity factors
+    D = sg.door_valid.shape[0]
+    door_fixed = ~sg.door_valid
+    if config.door_factor:
+        # nearest valid room per door (the reference iterates room->doors;
+        # the env-database room assignment reduces to proximity here)
+        ddist = jnp.linalg.norm(
+            sg.door_pose[:, None, 4:7] - sg.room_center[None, :, :], axis=-1
+        )
+        ddist = jnp.where(sg.room_valid[None, :], ddist, jnp.inf)
+        door_room_idx = jnp.argmin(ddist, axis=1).astype(jnp.int32)
+        has_room = jnp.isfinite(jnp.min(ddist, axis=1))
+        rel = sg.door_pose[:, 4:7] - sg.room_center[door_room_idx]
+        batches.append(FactorBatch(
+            families=("door", "room"),
+            residual_fn=factors.door_room,
+            res_dim=3,
+            var_idx=jnp.stack(
+                [jnp.arange(D, dtype=jnp.int32), door_room_idx], axis=1
+            ),
+            const={"rel": rel},
+            info=jnp.full((D,), 1.0, jnp.float32),
+            valid=sg.door_valid & has_room,
+            huber=1.0,
+        ))
 
     min_id = jnp.min(jnp.where(kf_mask, kf_ids, m.K))
     kf_fixed = (~kf_mask) | (kf_ids == min_id) | (kf_ids == 0)
@@ -170,6 +297,8 @@ def scenegraph_local_ba(
             "kf": se3_family(m.kf_pose[kf_ids], kf_fixed),
             "pt": point_family(m.pt_pos[safe_pt], ~pt_ok),
             "plane": plane_family(sg.pl_coeffs, plane_fixed),
+            "room": point_family(sg.room_center, room_fixed),
+            "door": se3_family(sg.door_pose, door_fixed),
         },
         factors=batches,
         eliminated="pt",
@@ -187,8 +316,26 @@ def scenegraph_local_ba(
     # renormalize plane equations ([n; d] with |n| = 1)
     nrm = jnp.linalg.norm(new_planes[:, :3], axis=-1, keepdims=True)
     new_planes = new_planes / jnp.maximum(nrm, 1e-9)
+    new_rooms = jnp.where(room_fixed[:, None], sg.room_center,
+                          res.values["room"])
+    new_doors = jnp.where(door_fixed[:, None], sg.door_pose,
+                          res.values["door"])
+
+    # ---- chi2 erasure of outlier plane observations (Optimizer.cc:2344)
+    new_ob_valid = sg.ob_valid
+    if config.plane_kf_factor:
+        fams = {
+            "kf": se3_family(new_kf_pose[kf_ids], kf_fixed),
+            "plane": plane_family(new_planes, plane_fixed),
+        }
+        chi2 = batch_chi2(plane_kf_batch, fams)
+        new_ob_valid = sg.ob_valid & jnp.where(
+            ob_use, chi2 <= CHI2_PLANE * 4.0, True
+        )
+
     return (
         m._replace(kf_pose=new_kf_pose, pt_pos=new_pt_pos),
-        sg._replace(pl_coeffs=new_planes),
+        sg._replace(pl_coeffs=new_planes, room_center=new_rooms,
+                    door_pose=new_doors, ob_valid=new_ob_valid),
         res.cost,
     )

@@ -59,6 +59,7 @@ def associate_and_update(
     det_votes: jax.Array,  # (n_det, N_CLASSES) confidence mass per class
     det_local: jax.Array,  # (n_det, 4) plane in camera frame (observation)
     kf_id: jax.Array,
+    det_quadric: jax.Array = None,  # (n_det, 4, 4) camera-frame Gij
     ominus_thresh: float = 0.3,
     dist_thresh: float = 0.35,
     centroid_thresh: float = 1.5,
@@ -73,6 +74,9 @@ def associate_and_update(
     det_npts = det_npts.astype(dt)
     det_votes = det_votes.astype(dt)
     det_local = det_local.astype(dt)
+    if det_quadric is None:
+        det_quadric = jnp.zeros((n_det, 4, 4), dt)
+    det_quadric = det_quadric.astype(dt)
     P = sg.P
     for i in range(n_det):
         coeffs = det_coeffs[i]
@@ -163,6 +167,9 @@ def associate_and_update(
                 jnp.where(rec, jnp.sum(det_votes[i]) /
                           jnp.maximum(det_npts[i], 1.0), sg.ob_conf[oslot])
             ),
+            ob_quadric=sg.ob_quadric.at[oslot].set(
+                jnp.where(rec, det_quadric[i], sg.ob_quadric[oslot])
+            ),
             ob_valid=sg.ob_valid.at[oslot].set(rec | sg.ob_valid[oslot]),
             n_obs=sg.n_obs + rec.astype(jnp.int32),
         )
@@ -176,6 +183,7 @@ def detect_planes_from_depth(
     T_cw: jax.Array,
     cam_K: jax.Array,
     key: jax.Array,
+    conf_img: jax.Array | None = None,
     n_cloud: int = 2048,
     n_det: int = 4,
     n_hyp: int = 192,
@@ -183,10 +191,18 @@ def detect_planes_from_depth(
     dist_thresh: float = 0.04,
     min_inliers: float = 150.0,
 ):
-    """Depth (+ optional per-pixel class) image -> detected world planes.
+    """Depth (+ optional per-pixel class / confidence) image -> detected
+    world planes.
 
     Returns (world_coeffs (n_det,4), valid, centroid (n_det,3), npts,
-    votes (n_det, N_CLASSES), local_coeffs (n_det,4)).
+    votes (n_det, N_CLASSES), local_coeffs (n_det,4), quadric (n_det,4,4)).
+
+    ``conf_img``: optional (H, W) per-pixel confidence in [0, 1] — the
+    reference's α channel (class probability × depth-interpolated
+    uncertainty, SemanticSegmentation.cc:93-175).  It drives the
+    confidence-weighted RANSAC inlier score (WeightedSACModelPlane.hpp:
+    21-49), the weighted semantic votes (Plane::castWeightedVote), and the
+    Gij quadric weights.
 
     Design note vs the reference: instead of running one RANSAC per semantic
     class on thresholded class clouds (SemanticSegmentation.cc:177-207), we
@@ -199,13 +215,19 @@ def detect_planes_from_depth(
         labels = sem_img[rc[:, 0], rc[:, 1]]
     else:
         labels = jnp.full(pts_cam.shape[:1], UNDEFINED, jnp.int32)
+    if conf_img is not None:
+        conf = conf_img[rc[:, 0], rc[:, 1]].astype(jnp.float32)
+    else:
+        conf = jnp.ones(pts_cam.shape[:1], jnp.float32)
 
-    # voxel-downsampled cloud for fitting (labels follow nearest raw point)
-    cloud, cvalid = voxel_downsample(pts_cam, valid, voxel, n_cloud,
-                                     min_points_per_voxel=1)
-    weights = jnp.ones(cloud.shape[:1], jnp.float32)
+    # voxel-downsampled cloud for fitting; per-point confidences feed the
+    # weighted RANSAC inlier score (pcl_custom WeightedSACSegmentation)
+    cloud, cvalid, cweight = voxel_downsample(
+        pts_cam, valid, voxel, n_cloud, min_points_per_voxel=1,
+        point_weight=conf,
+    )
     coeffs_c, det_valid, assign = extract_planes(
-        cloud, cvalid, weights, key, n_planes=n_det, n_hyp=n_hyp,
+        cloud, cvalid, cweight, key, n_planes=n_det, n_hyp=n_hyp,
         dist_thresh=dist_thresh, min_inliers=min_inliers,
     )
 
@@ -218,15 +240,14 @@ def detect_planes_from_depth(
         jnp.einsum("di,ni->dn", coeffs_c[:, :3], pts_cam) + coeffs_c[:, 3:4]
     )  # (n_det, M)
     member = (dists < dist_thresh * 1.5) & valid[None, :]
+    memw = member.astype(jnp.float32) * conf[None, :]  # confidence mass
     npts = jnp.sum(member, axis=1).astype(jnp.float32)
     centroid = jnp.einsum("dn,ni->di", member.astype(jnp.float32), pts_w) / (
         jnp.maximum(npts, 1.0)[:, None]
     )
     votes = jnp.stack(
         [
-            jnp.sum(member & (labels == c)[None, :], axis=1).astype(
-                jnp.float32
-            )
+            jnp.sum(memw * (labels == c)[None, :], axis=1)
             for c in range(N_CLASSES)
         ],
         axis=-1,
@@ -234,7 +255,17 @@ def detect_planes_from_depth(
     # normalize votes so one observation contributes at most ~1 vote per
     # class-majority (keeps min_votes thresholds image-size independent)
     votes = votes / jnp.maximum(jnp.sum(votes, axis=-1, keepdims=True), 1.0)
-    return coeffs_w, det_valid, centroid, npts, votes, coeffs_c
+    # Gij point quadric per detection: Σ w·p̃ p̃ᵀ over the supporting cloud
+    # in the CAMERA frame (GeoSemHelpers.cc:24-35), normalized by the
+    # member count so the factor's chi2 is a mean squared distance (f32
+    # conditioning; the count re-enters through the factor info weight)
+    ph = jnp.concatenate(
+        [pts_cam, jnp.ones(pts_cam.shape[:1] + (1,), jnp.float32)], axis=-1
+    )  # (M, 4)
+    quad = jnp.einsum("dn,ni,nj->dij", memw, ph, ph) / jnp.maximum(
+        jnp.sum(memw, axis=1), 1.0
+    )[:, None, None]
+    return coeffs_w, det_valid, centroid, npts, votes, coeffs_c, quad
 
 
 # ---------------------------------------------------------------------------
@@ -365,33 +396,38 @@ class SceneGraphManager:
         self._key = jax.random.PRNGKey(seed)
         self._pending_sem = {}
 
-    def provide_semantics(self, timestamp: float, sem_img):
-        """Register a per-pixel class image for the frame at ``timestamp``
-        (the segmenter_ros result channel, System::addSegmentedImage)."""
-        self._pending_sem[round(float(timestamp), 4)] = sem_img
+    def provide_semantics(self, timestamp: float, sem_img, conf_img=None):
+        """Register a per-pixel class image (and optional per-pixel
+        confidence in [0, 1]) for the frame at ``timestamp`` — the
+        segmenter_ros result channel (System::addSegmentedImage; probability
+        + uncertainty images, SemanticSegmentation.cc:93-175)."""
+        self._pending_sem[round(float(timestamp), 4)] = (sem_img, conf_img)
 
     def on_keyframe(self, system, kf_id, frame, depth_img=None,
-                    sem_img=None):
+                    sem_img=None, conf_img=None):
         if depth_img is None:
             depth_img = getattr(frame, "_depth_img", None)
         if depth_img is None:
             return
         if sem_img is None:
-            sem_img = self._pending_sem.pop(
+            pending = self._pending_sem.pop(
                 round(float(frame.timestamp), 4), None
             )
+            if pending is not None:
+                sem_img, conf_img = pending
         self._key, sub = jax.random.split(self._key)
         T_cw = system.map.kf_pose[kf_id]
         det = detect_planes_from_depth(
             jnp.asarray(depth_img),
             None if sem_img is None else jnp.asarray(sem_img),
             T_cw, system.cam_K, sub,
+            conf_img=None if conf_img is None else jnp.asarray(conf_img),
             dist_thresh=self.cfg.ransac_dist_thresh,
         )
-        coeffs_w, det_valid, centroid, npts, votes, local = det
+        coeffs_w, det_valid, centroid, npts, votes, local, quad = det
         self.state = associate_and_update(
             self.state, coeffs_w, det_valid, centroid, npts, votes, local,
-            kf_id,
+            kf_id, det_quadric=quad,
             ominus_thresh=self.cfg.plane_assoc_ominus_thresh,
             dist_thresh=self.cfg.plane_assoc_dist_thresh,
         )

@@ -41,12 +41,16 @@ def backproject_depth(depth_img: jax.Array, cam_K: jax.Array,
 
 
 def voxel_downsample(points: jax.Array, valid: jax.Array, voxel: float,
-                     n_out: int, min_points_per_voxel: int = 1):
+                     n_out: int, min_points_per_voxel: int = 1,
+                     point_weight: jax.Array | None = None):
     """Voxel-grid downsample: one centroid per occupied voxel.
 
     Hash-scatter binning (Utils::pointcloudDownsample semantics including the
-    min-points-per-voxel gate).  Returns (centroids (n_out, 3),
-    valid (n_out,)).
+    min-points-per-voxel gate).  ``point_weight``: optional per-point
+    confidence — the voxel inherits the mean weight of its points (the α
+    channel the weighted RANSAC consumes, WeightedSACModelPlane.hpp:21-49).
+    Returns (centroids (n_out, 3), valid (n_out,)) or, with weights,
+    (centroids, valid, weights (n_out,)).
     """
     n = points.shape[0]
     # integer voxel coords; hash into a table ~4x the output capacity
@@ -67,7 +71,14 @@ def voxel_downsample(points: jax.Array, valid: jax.Array, voxel: float,
     # compact the first n_out occupied voxels
     (idx,) = jnp.nonzero(occupied, size=n_out, fill_value=-1)
     ok = idx >= 0
-    return centroids[jnp.maximum(idx, 0)], ok
+    out_pts = centroids[jnp.maximum(idx, 0)]
+    if point_weight is None:
+        return out_pts, ok
+    wsums = jnp.zeros((table + 1,), points.dtype).at[h].add(
+        jnp.where(valid, point_weight, 0.0)
+    )
+    wmean = wsums[:table] / jnp.maximum(counts[:table], 1)
+    return out_pts, ok, wmean[jnp.maximum(idx, 0)]
 
 
 def remove_statistical_outliers(points: jax.Array, valid: jax.Array,

@@ -39,6 +39,7 @@ class SceneGraphState(NamedTuple):
     ob_plane: jax.Array  # (Q,) plane id
     ob_coeffs: jax.Array  # (Q, 4) plane in the keyframe's camera frame
     ob_conf: jax.Array  # (Q,) mean confidence of the observation
+    ob_quadric: jax.Array  # (Q, 4, 4) Gij = Σ w·p̃p̃ᵀ (camera frame)
     ob_valid: jax.Array  # (Q,)
     # rooms (R,)
     room_center: jax.Array  # (R, 3)
@@ -81,6 +82,7 @@ def empty_scenegraph(cap: CapacityConfig = CapacityConfig(),
         ob_plane=jnp.full((max_obs,), -1, i32),
         ob_coeffs=jnp.zeros((max_obs, 4), f32),
         ob_conf=jnp.zeros((max_obs,), f32),
+        ob_quadric=jnp.zeros((max_obs, 4, 4), f32),
         ob_valid=jnp.zeros((max_obs,), bool),
         room_center=jnp.zeros((R, 3), f32),
         room_walls=jnp.full((R, 4), -1, i32),

@@ -112,20 +112,30 @@ def insert_keyframe(
 
 
 @jax.jit
-def apply_found_stats(m: MapState, slot_pts: jax.Array) -> MapState:
-    """Fold a batch of per-frame match tables into the found counters
-    (MapPoint::IncreaseFound accumulated lazily).  ``slot_pts``: (B, F)
-    point ids or -1 (padding rows all -1)."""
+def apply_found_stats(m: MapState, slot_pts: jax.Array,
+                      vis_pts: jax.Array = None) -> MapState:
+    """Fold a batch of per-frame match tables into the found counters, and
+    per-frame visibility tables into the visible counters
+    (MapPoint::IncreaseFound/IncreaseVisible accumulated lazily).
+    ``slot_pts``: (B, F) point ids or -1; ``vis_pts``: (B, n_local) point
+    ids predicted visible or -1 (padding rows all -1)."""
     flat = slot_pts.reshape(-1)
     pt_found = m.pt_found.at[jnp.maximum(flat, 0)].add(
         (flat >= 0).astype(jnp.int32), mode="drop"
     )
-    return m._replace(pt_found=pt_found)
+    pt_visible = m.pt_visible
+    if vis_pts is not None:
+        vflat = vis_pts.reshape(-1)
+        pt_visible = pt_visible.at[jnp.maximum(vflat, 0)].add(
+            (vflat >= 0).astype(jnp.int32), mode="drop"
+        )
+    return m._replace(pt_found=pt_found, pt_visible=pt_visible)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("do_fuse", "do_ba", "n_window", "lba_iters"),
+    static_argnames=("do_fuse", "do_ba", "n_window", "lba_iters",
+                     "cull_min_obs", "cull_min_found_ratio"),
 )
 def insert_and_maintain(
     m: MapState,
@@ -136,22 +146,26 @@ def insert_and_maintain(
     stats_slots: jax.Array,
     cull_kf_redundancy: float,
     cam_bf: jax.Array = None,
+    stats_vis: jax.Array = None,
     do_fuse: bool = True,
     do_ba: bool = False,
     n_window: int = 10,
     lba_iters: int = 10,
+    cull_min_obs: int = 2,
+    cull_min_found_ratio: float = 0.25,
 ) -> tuple[MapState, jax.Array]:
     """The whole keyframe bookkeeping path fused into ONE program: lazy
-    found-stats, insertion + point seeding, observation fusion, point and
-    keyframe culling, and (``do_ba``) the windowed Schur BA — the
+    found/visible stats, insertion + point seeding, observation fusion,
+    point and keyframe culling, and (``do_ba``) the windowed Schur BA — the
     LocalMapping chain (LocalMapping.cc:58-278) as one executable.  Each
     separate dispatch costs a ~23 ms tunnel round trip, so the chain must
     not be split."""
-    m = apply_found_stats(m, stats_slots)
+    m = apply_found_stats(m, stats_slots, stats_vis)
     m, kf = insert_keyframe(m, frame, pose, slot_pt, cam_K)
     if do_fuse:
         m = fuse_observations(m, kf, cam_K)
-    m = cull_points(m)
+    m = cull_points(m, min_obs=cull_min_obs,
+                    min_found_ratio=cull_min_found_ratio)
     m = cull_keyframes(m, kf, cull_kf_redundancy)
     if do_ba:
         m, _ = local_ba(m, kf, cam_K, cam_bf, n_window=n_window,
@@ -542,14 +556,25 @@ def cull_keyframes(m: MapState, kf_id: jax.Array,
     return m._replace(kf_valid=kf_valid)
 
 
-@jax.jit
-def cull_points(m: MapState, min_obs: int = 2) -> MapState:
-    """Drop points observed by fewer than ``min_obs`` keyframes once they are
-    old enough (MapPointCulling, LocalMapping.cc:341 — the found/visible
-    ratio test is kept in the stats for later use)."""
+@functools.partial(jax.jit, static_argnames=("min_obs", "min_found_ratio"))
+def cull_points(m: MapState, min_obs: int = 2,
+                min_found_ratio: float = 0.25) -> MapState:
+    """Drop points observed by fewer than ``min_obs`` keyframes once they
+    are old enough, or *recently created* points whose found/visible ratio
+    collapsed (MapPointCulling, LocalMapping.cc:341 — GetFoundRatio < 0.25
+    is tested only while the point sits in mlpRecentAddedMapPoints, i.e.
+    its first ~3 keyframes; older points are no longer candidates).  The
+    ratio test additionally arms only after a few visibility chances so a
+    fresh point isn't judged on one frame."""
     nobs = point_obs_count(m)
     age = m.n_kf - m.pt_first_kf  # keyframes since creation
-    bad = m.pt_valid & (age >= 3) & (nobs < min_obs)
+    ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(
+        m.pt_visible.astype(jnp.float32), 1.0
+    )
+    low_ratio = (
+        (age <= 3) & (m.pt_visible >= 8) & (ratio < min_found_ratio)
+    )
+    bad = m.pt_valid & (((age >= 3) & (nobs < min_obs)) | low_ratio)
     pt_valid = m.pt_valid & ~bad
     # unlink culled points from keyframes
     obs = m.kf_obs_pt

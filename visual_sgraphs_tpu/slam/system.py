@@ -85,6 +85,13 @@ class SlamSystem:
         self.atlas = Atlas()
         self.epoch = 0
         self.lost_frames = 0
+        self._last_ts: float | None = None
+        # observability (SURVEY §5.1/§5.5): REGISTER_TIMES-style stage
+        # timers + structured event log
+        from visual_sgraphs_tpu.utils import EventLog, StageTimers
+
+        self.timers = StageTimers(config.profile, config.profile_sync)
+        self.events = EventLog(verbose=config.verbose_events)
         # pipelined per-frame decision state (fused fast path)
         self._pending = None
         self._stats_buf: list = []
@@ -165,11 +172,12 @@ class SlamSystem:
             t.match_radius_coarse, t.match_radius_fine, True,
         )
         ts = float(timestamp)
-        frame, res, pose_sel, vel_sel, T_rel, packed = step(
-            self.map, gray, depth, jnp.asarray(ts, jnp.float32),
-            self.last_pose, self.velocity, self.ref_kf, self.cam_K,
-            jnp.asarray(t.min_inliers_ok, jnp.int32),
-        )
+        with self.timers.stage("track_dispatch"):
+            frame, res, pose_sel, vel_sel, T_rel, packed = step(
+                self.map, gray, depth, jnp.asarray(ts, jnp.float32),
+                self.last_pose, self.velocity, self.ref_kf, self.cam_K,
+                jnp.asarray(t.min_inliers_ok, jnp.int32), self.cam_bf,
+            )
         # advance the device-side chain; host decisions lag one frame
         self.last_pose = pose_sel
         self.velocity = vel_sel
@@ -186,7 +194,8 @@ class SlamSystem:
     def _resolve_pending(self, p) -> None:
         """Apply frame ``p``'s host-side decisions (one readback)."""
         t = self.cfg.tracking
-        n_inl = int(np.asarray(p["packed"])[1])
+        with self.timers.stage("track_resolve"):
+            n_inl = int(np.asarray(p["packed"])[1])
         accepted = n_inl >= t.min_inliers_ok
         self.trajectory.append(
             (p["ts"], p["epoch"], p["ref_host"], p["T_rel"], accepted)
@@ -195,9 +204,10 @@ class SlamSystem:
             self.state = TrackState.OK
             self.lost_frames = 0
             self.peak_inliers = max(self.peak_inliers, n_inl)
-            self._stats_buf.append(p["res"].slot_pt)
-            if self._need_keyframe(n_inl):
-                self._insert_keyframe_fused(p["frame"], p["res"], n_inl)
+            self._stats_buf.append((p["res"].slot_pt, p["res"].vis_pt))
+            if not self.cfg.localization_only and self._need_keyframe(n_inl):
+                with self.timers.stage("kf_insert", sync_on=None):
+                    self._insert_keyframe_fused(p["frame"], p["res"], n_inl)
             return
         # ---- lost handling (Tracking.cc:2024-2098)
         self.state = TrackState.RECENTLY_LOST
@@ -234,37 +244,47 @@ class SlamSystem:
             )
         self._stats_buf = []
 
-    def _stacked_stats(self) -> jax.Array:
-        """(B, F) padded batch of per-frame match tables since the last
-        keyframe (device handles; no sync)."""
+    def _stacked_stats(self) -> tuple[jax.Array, jax.Array]:
+        """((B, F), (B, n_local)) padded batches of per-frame match and
+        visibility tables since the last keyframe (device handles; no
+        sync)."""
         F = self.map.F
         B = 32  # static bucket (kf_max_interval is 30)
         buf = self._stats_buf[-B:]
         self._stats_buf = []
         pad = jnp.full((B - len(buf), F), -1, jnp.int32)
-        if buf:
-            return jnp.concatenate([jnp.stack(buf), pad])
-        return pad
+        if not buf:
+            return pad, None
+        slots = jnp.concatenate([jnp.stack([s for s, _ in buf]), pad])
+        n_local = buf[0][1].shape[0]
+        vpad = jnp.full((B - len(buf), n_local), -1, jnp.int32)
+        vis = jnp.concatenate([jnp.stack([v for _, v in buf]), vpad])
+        return slots, vis
 
     def _insert_keyframe_fused(self, frame: FrameObs,
                                res: tracking.TrackResult, n_inl: int):
         """Keyframe path with the full maintenance chain + local BA as ONE
         program (scene-graph variants keep their own BA)."""
         sg_on = self.scenegraph is not None
+        stats_slots, stats_vis = self._stacked_stats()
         self.map, kf = mapping.insert_and_maintain(
             self.map, frame, res.pose, res.slot_pt, self.cam_K,
-            self._stacked_stats(), self.cfg.mapping.kf_cull_redundancy,
-            cam_bf=self.cam_bf, do_ba=not sg_on,
+            stats_slots, self.cfg.mapping.kf_cull_redundancy,
+            cam_bf=self.cam_bf, stats_vis=stats_vis, do_ba=not sg_on,
             n_window=self.cfg.mapping.local_window,
             lba_iters=self.cfg.mapping.lba_iters,
+            cull_min_obs=self.cfg.mapping.point_cull_min_obs,
+            cull_min_found_ratio=self.cfg.mapping.point_cull_min_found_ratio,
         )
         kf_host = min(self.n_kf_host, self.map.K - 1)
         self.n_kf_host += 1
+        self.events.emit("keyframe", kf=kf_host, n_inliers=n_inl)
         if sg_on:
-            self.scenegraph.on_keyframe(
-                self, kf, frame,
-                depth_img=getattr(self, "_last_depth_img", None),
-            )
+            with self.timers.stage("sg_detect"):
+                self.scenegraph.on_keyframe(
+                    self, kf, frame,
+                    depth_img=getattr(self, "_last_depth_img", None),
+                )
             sg_ba = (
                 self.cfg.scenegraph.plane_kf_factor
                 and int(self.scenegraph.state.n_obs) > 0
@@ -274,18 +294,21 @@ class SlamSystem:
                     scenegraph_local_ba,
                 )
 
-                self.map, self.scenegraph.state, _ = scenegraph_local_ba(
-                    self.map, self.scenegraph.state, kf, self.cam_K,
-                    self.cam_bf,
-                    n_window=self.cfg.mapping.local_window,
-                    iters=self.cfg.mapping.lba_iters,
-                )
+                with self.timers.stage("sg_ba"):
+                    self.map, self.scenegraph.state, _ = scenegraph_local_ba(
+                        self.map, self.scenegraph.state, kf, self.cam_K,
+                        self.cam_bf,
+                        n_window=self.cfg.mapping.local_window,
+                        iters=self.cfg.mapping.lba_iters,
+                        config=self.cfg.scenegraph,
+                    )
             else:
-                self.map, _ = mapping.local_ba(
-                    self.map, kf, self.cam_K, self.cam_bf,
-                    n_window=self.cfg.mapping.local_window,
-                    iters=self.cfg.mapping.lba_iters,
-                )
+                with self.timers.stage("local_ba"):
+                    self.map, _ = mapping.local_ba(
+                        self.map, kf, self.cam_K, self.cam_bf,
+                        n_window=self.cfg.mapping.local_window,
+                        iters=self.cfg.mapping.lba_iters,
+                    )
         self.ref_kf = kf
         self.ref_kf_host = kf_host
         self.frames_since_kf = 0
@@ -297,8 +320,12 @@ class SlamSystem:
             # frame's step already advanced the device pose chain)
             self.last_pose = self.map.kf_pose[kf]
         if self.loop_closer is not None:
-            if self.loop_closer.on_keyframe(self, kf, frame):
+            with self.timers.stage("loop_detect"):
+                closed = self.loop_closer.on_keyframe(self, kf, frame)
+            if closed:
                 self.last_pose = self.map.kf_pose[kf]
+                self.events.emit("loop_closed",
+                                 kf=kf_host, cand=self.loop_closer.last_loop)
             if self.atlas.stashed:
                 self.try_merge_stashed(kf_host, frame)
 
@@ -328,12 +355,16 @@ class SlamSystem:
         # ONE fused program: coarse track + conditional wide-window retry
         # (TrackReferenceKeyFrame fallback) + point stats; ONE scalar
         # readback per frame — D2H round trips cost ~25 ms on the tunnel
+        use_stereo = self.cfg.sensor not in (Sensor.MONOCULAR,
+                                             Sensor.IMU_MONOCULAR)
         res, map_stats, packed = tracking.track_frame_full(
             self.map, frame, T_pred, self.last_pose, self.ref_kf,
             self.cam_K, jnp.asarray(t.min_inliers_ok, jnp.int32),
             n_window=self.cfg.mapping.local_window,
             fx_radius=t.match_radius_coarse,
             fine_radius=t.match_radius_fine,
+            cam_bf=self.cam_bf if use_stereo else None,
+            img_wh=(self.cfg.camera.width, self.cfg.camera.height),
         )
         n_inl = int(np.asarray(packed)[1])
 
@@ -343,6 +374,12 @@ class SlamSystem:
             self.lost_frames = 0
             new_pose = lie.se3_normalize(res.pose)
             self.velocity = _velocity_of(new_pose, self.last_pose)
+            if self.imu is not None and self._last_ts is not None:
+                # re-anchor IMU velocity on the accepted visual pose delta
+                self.imu.correct_velocity(
+                    self.last_pose, new_pose, ts - self._last_ts
+                )
+            self._last_ts = ts
             self.last_pose = new_pose
             self.map = map_stats
             self.peak_inliers = max(self.peak_inliers, n_inl)
@@ -382,10 +419,10 @@ class SlamSystem:
 
     # --------------------------------------------------- Atlas multi-map
 
-    def _new_map(self):
+    def _new_map(self, stash: bool = True):
         """Stash the active map and restart tracking on a fresh one."""
         self._abort_pending()
-        if int(self.map.n_kf) >= 5:
+        if stash and int(self.map.n_kf) >= 5:
             db = vocab = None
             if self.loop_closer is not None:
                 db, vocab = self.loop_closer.db, self.loop_closer.vocab
@@ -468,13 +505,16 @@ class SlamSystem:
             if hit is None:
                 continue
             T_cw_old, _ = hit
-            # welding transform: young world -> old world
+            # welding transform: young world -> old world.  merge_maps
+            # applies X' = A·X, T_cw' = T_cw·A⁻¹, so for the welded KF to
+            # land at the relocalized pose we need
+            # A = T_old<-young = T_cw_old⁻¹ ∘ T_cw_young.
             self._abort_pending()
             T_cw_young = self.map.kf_pose[kf]
-            A = _velocity_of(  # T_wc_old ∘ T_cw_young
-                jnp.asarray(T_cw_young), jnp.asarray(T_cw_old)
-            )
-            A = lie.se3_normalize(lie.se3_inverse(A))
+            A = lie.se3_normalize(lie.se3_multiply(
+                lie.se3_inverse(jnp.asarray(T_cw_old)),
+                jnp.asarray(T_cw_young),
+            ))
             young_epoch = self.epoch
             kf_new_alloc = jnp.cumsum(
                 self.map.kf_valid.astype(jnp.int32)
@@ -602,6 +642,7 @@ class SlamSystem:
                 self.cam_bf,
                 n_window=self.cfg.mapping.local_window,
                 iters=self.cfg.mapping.lba_iters,
+                config=self.cfg.scenegraph,
             )
         elif self.imu is not None and self.imu.initialized:
             self.imu.local_ba(
@@ -614,7 +655,10 @@ class SlamSystem:
                 n_window=self.cfg.mapping.local_window,
                 iters=self.cfg.mapping.lba_iters,
             )
-        self.map = mapping.cull_points(self.map)
+        self.map = mapping.cull_points(
+            self.map, min_obs=self.cfg.mapping.point_cull_min_obs,
+            min_found_ratio=self.cfg.mapping.point_cull_min_found_ratio,
+        )
         self.map = mapping.cull_keyframes(
             self.map, kf, self.cfg.mapping.kf_cull_redundancy
         )
@@ -700,6 +744,87 @@ class SlamSystem:
                 f"{qx:.7f} {qy:.7f} {qz:.7f} {qw:.7f}"
             )
         return "\n".join(lines) + "\n"
+
+    def run_global_ba(self, iters: int = 10) -> None:
+        """Full-map BA (LoopClosing::RunGlobalBundleAdjustment): on a
+        multi-device mesh the landmark-sharded backend assembles the normal
+        equations with one psum per iteration (parallel/dist_ba.py);
+        single-device falls back to the dense Schur engine."""
+        with self.timers.stage("global_ba"):
+            if self.cfg.distributed_gba and jax.device_count() > 1:
+                from visual_sgraphs_tpu.parallel import (
+                    global_ba_sharded,
+                    make_mesh,
+                )
+
+                self.map, _ = global_ba_sharded(
+                    self.map, self.cam_K, self.cam_bf, make_mesh(),
+                    iters=iters,
+                )
+            else:
+                self.map, _ = mapping.global_ba(
+                    self.map, self.cam_K, self.cam_bf, iters=iters
+                )
+        self.events.emit("global_ba", n_kf=int(self.n_kf_host))
+
+    def trajectory_euroc(self) -> str:
+        """EuRoC-format trajectory (timestamp_ns tx ty tz qw qx qy qz) of
+        camera poses in world frame (System::SaveTrajectoryEuRoC,
+        System.cc:579+)."""
+        lines = []
+        poses = self.frame_poses()
+        for (ts, _, _, _, tracked), T_cw in zip(self.trajectory, poses):
+            if not tracked:
+                continue
+            T_wc = np.asarray(_inverse_pose(jnp.asarray(T_cw)))
+            qw, qx, qy, qz, tx, ty, tz = T_wc
+            lines.append(
+                f"{int(ts * 1e9)} {tx:.7f} {ty:.7f} {tz:.7f} "
+                f"{qw:.7f} {qx:.7f} {qy:.7f} {qz:.7f}"
+            )
+        return "\n".join(lines) + "\n"
+
+    def trajectory_kitti(self) -> str:
+        """KITTI-format trajectory: one 3x4 row-major T_wc per line, every
+        frame including untracked ones held at the previous pose
+        (System::SaveTrajectoryKITTI, System.cc)."""
+        lines = []
+        poses = self.frame_poses()
+        last = np.eye(4, dtype=np.float64)
+        for (_, _, _, _, tracked), T_cw in zip(self.trajectory, poses):
+            if tracked:
+                T_wc = np.asarray(_inverse_pose(jnp.asarray(T_cw)))
+                last = np.asarray(
+                    lie.se3_to_matrix(jnp.asarray(T_wc)), np.float64
+                )
+            m = last[:3].reshape(-1)
+            lines.append(" ".join(f"{v:.6e}" for v in m))
+        return "\n".join(lines) + "\n"
+
+    def export_ply(self, path: str) -> int:
+        """Map points + keyframe path as PLY (System::SavePointCloudMap,
+        System.cc:1409)."""
+        from visual_sgraphs_tpu.io.viz import export_map_ply
+
+        return export_map_ply(path, self)
+
+    def reset(self) -> None:
+        """Full reset: drop every map and restart (System::Reset,
+        System.cc:539)."""
+        self.flush()
+        self._new_map(stash=False)
+        self.atlas.stashed = []
+        self.atlas.n_maps_created = 1
+        self.epoch = 0
+        self.trajectory = []
+        self.events.emit("reset")
+
+    def reset_active_map(self) -> None:
+        """Drop only the active map; stashed Atlas maps survive
+        (System::ResetActiveMap, System.cc:544)."""
+        self.flush()
+        self._new_map(stash=False)
+        self.events.emit("reset_active_map")
 
     def positions(self) -> np.ndarray:
         """(T, 3) camera centers in world frame (all frames; mask with

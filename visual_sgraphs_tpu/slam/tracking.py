@@ -46,6 +46,7 @@ CHI2_MONO = 5.991
 class TrackResult(NamedTuple):
     pose: jax.Array  # (7,) optimized T_cw
     slot_pt: jax.Array  # (F,) map-point id matched to each frame keypoint, -1
+    vis_pt: jax.Array  # (n_local,) point ids predicted visible this frame, -1
     n_matches: jax.Array  # () int32 matches fed to the solver
     n_inliers: jax.Array  # () int32 inliers after gating
     n_local_pts: jax.Array  # () int32 size of the local map used
@@ -70,7 +71,10 @@ def _local_point_table(m: MapState, ref_kf: jax.Array, n_window: int,
 
 
 def pose_only_gn(T_init, xw, uv, valid, cam_K, iters: int = 10,
-                 chi2_gate: float = CHI2_MONO, huber: float = 2.447):
+                 chi2_gate: float = CHI2_MONO, huber: float = 2.447,
+                 gate0: float | None = None,
+                 depth: jax.Array | None = None,
+                 bf: jax.Array | None = None):
     """Dedicated motion-only Gauss-Newton (the PoseOptimization hot loop,
     Optimizer.cc:1063) with analytic Jacobians and MXU-shaped normal
     equations — one residual evaluation per iteration.
@@ -78,45 +82,85 @@ def pose_only_gn(T_init, xw, uv, valid, cam_K, iters: int = 10,
     The generic LM engine evaluates residuals ~3x per iteration (linearize,
     candidate cost, gate) through autodiff; at 30+ iterations per frame that
     dominated the whole tracking step.  Here each iteration is: project,
-    analytic (M, 2, 6) Jacobian, Huber + chi2 re-gating as weights (outlier
-    recovery exactly like the reference's between-round re-marking), one
+    analytic (M, 2, 6) Jacobian, Huber IRLS + chi2 gating as weights, one
     (6, M*2)x(M*2, 6) matmul, one 6x6 solve.
+
+    The chi2 gate starts at ``gate0`` (default: wide open — residuals up to
+    the match search window must stay in play or GN can never pull a
+    mispredicted pose into the basin) and decays geometrically to the final
+    ``chi2_gate*4`` across the schedule — the reference's equivalent is
+    re-marking outliers between its 4 rounds (Optimizer.cc:1255-1267) so
+    early rounds keep large-residual observations too.
+
+    ``depth``/``bf``: when given, points with depth > 0 get a third stereo
+    residual row u_r = u - bf/z against the observed u_r (the reference's
+    RGB-D PoseOptimization path, Optimizer.cc:1127+), anchoring scale.
 
     Returns (T (7,), inliers (M,) bool).
     """
     fx, fy = cam_K[0], cam_K[1]
     M = xw.shape[0]
+    final_gate = chi2_gate * 4.0
+    if gate0 is None or gate0 < final_gate:
+        gate0 = final_gate
+    # reference-like round structure: the first quarter of the schedule
+    # keeps every match in play (round 1 of the 4x10 with all edges at
+    # level 0), then the tight gate applies with per-iteration re-testing
+    n_wide = max(iters // 4, 1) if gate0 > final_gate else 0
+    sched = jnp.where(
+        jnp.arange(iters) < n_wide,
+        jnp.float32(gate0), jnp.float32(final_gate),
+    )
+    use_stereo = depth is not None and bf is not None
+    if use_stereo:
+        has_d = valid & (depth > 0)
+        ur_obs = uv[:, 0] - bf / jnp.where(has_d, depth, 1.0)
 
-    def step(T, _):
+    def step(T, gate):
         R = lie.quat_to_matrix(T[:4])
         p = xw @ R.T + T[4:7]  # (M, 3) camera-frame points
         z = jnp.maximum(p[:, 2], 1e-6)
         inv_z = 1.0 / z
         u_hat = fx * p[:, 0] * inv_z + cam_K[2]
         v_hat = fy * p[:, 1] * inv_z + cam_K[3]
-        r = jnp.stack([u_hat - uv[:, 0], v_hat - uv[:, 1]], axis=1)  # (M,2)
+        if use_stereo:
+            ur_hat = u_hat - bf * inv_z
+            r = jnp.stack([
+                u_hat - uv[:, 0], v_hat - uv[:, 1],
+                jnp.where(has_d, ur_hat - ur_obs, 0.0),
+            ], axis=1)  # (M, 3)
+        else:
+            r = jnp.stack([u_hat - uv[:, 0], v_hat - uv[:, 1]],
+                          axis=1)  # (M, 2)
         chi2 = jnp.sum(r * r, axis=1)
         ok = valid & (p[:, 2] > 0.05)
-        # Huber IRLS weight + hard gate re-tested every iteration
+        # Huber IRLS weight + decaying hard gate
         s = jnp.sqrt(jnp.maximum(chi2, 1e-12))
-        w = jnp.where(ok & (chi2 <= chi2_gate * 4.0),
+        w = jnp.where(ok & (chi2 <= gate),
                       jnp.minimum(1.0, huber / s), 0.0)
-        # d uv / d p  (M, 2, 3)
-        Jp = jnp.stack([
+        # d uv / d p  (M, R, 3)
+        rows = [
             jnp.stack([fx * inv_z, jnp.zeros_like(z),
                        -fx * p[:, 0] * inv_z * inv_z], axis=1),
             jnp.stack([jnp.zeros_like(z), fy * inv_z,
                        -fy * p[:, 1] * inv_z * inv_z], axis=1),
-        ], axis=1)
+        ]
+        if use_stereo:
+            rows.append(jnp.stack([
+                fx * inv_z, jnp.zeros_like(z),
+                (-fx * p[:, 0] + bf) * inv_z * inv_z,
+            ], axis=1) * has_d[:, None])
+        Jp = jnp.stack(rows, axis=1)
+        R_dim = Jp.shape[1]
         # d p / d xi = [I | -hat(p)]  (M, 3, 6)
         hatp = jax.vmap(lie.hat)(p)
         Jx = jnp.concatenate([
             jnp.broadcast_to(jnp.eye(3, dtype=p.dtype), (M, 3, 3)), -hatp
         ], axis=2)
-        J = jnp.einsum("mij,mjk->mik", Jp, Jx)  # (M, 2, 6)
+        J = jnp.einsum("mij,mjk->mik", Jp, Jx)  # (M, R, 6)
         Jw = J * w[:, None, None]
-        J2 = J.reshape(M * 2, 6)
-        Jw2 = Jw.reshape(M * 2, 6)
+        J2 = J.reshape(M * R_dim, 6)
+        Jw2 = Jw.reshape(M * R_dim, 6)
         H = jax.lax.dot_general(Jw2, J2, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         g = jnp.einsum("mri,mr->i", Jw, r)
@@ -125,8 +169,9 @@ def pose_only_gn(T_init, xw, uv, valid, cam_K, iters: int = 10,
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         return lie.se3_normalize(lie.se3_boxplus(T, dx)), None
 
-    T, _ = jax.lax.scan(step, T_init, None, length=iters)
-    # final inlier classification at the solution
+    T, _ = jax.lax.scan(step, T_init, sched)
+    # final inlier classification at the solution (2-dof pixel test — the
+    # stereo row only steers the solve)
     p = lie.se3_apply(T, xw)
     uv_hat = cameras.project_pinhole(cam_K, p)
     chi2 = jnp.sum((uv_hat - uv) ** 2, axis=1)
@@ -155,7 +200,8 @@ def _pose_only_solve(T_init, xw, uv, valid, cam_K, rounds, iters):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_window", "n_local", "fx_radius", "fine_radius"),
+    static_argnames=("n_window", "n_local", "fx_radius", "fine_radius",
+                     "img_wh"),
 )
 def track_frame(
     m: MapState,
@@ -167,9 +213,11 @@ def track_frame(
     n_local: int = 4096,
     fx_radius: float = 15.0,
     fine_radius: float = 7.0,
+    cam_bf: jax.Array = None,
+    img_wh: tuple | None = None,
 ) -> TrackResult:
     return _track_frame_impl(m, frame, T_pred, ref_kf, cam_K, n_window,
-                             n_local, fx_radius, fine_radius)
+                             n_local, fx_radius, fine_radius, cam_bf, img_wh)
 
 
 def _track_frame_impl(
@@ -182,6 +230,8 @@ def _track_frame_impl(
     n_local: int = 4096,
     fx_radius: float = 15.0,
     fine_radius: float = 7.0,
+    cam_bf: jax.Array = None,
+    img_wh: tuple | None = None,
 ) -> TrackResult:
     """Track one frame against the local map from predicted pose ``T_pred``."""
     ids, safe, lvalid = _local_point_table(m, ref_kf, n_window, n_local)
@@ -192,6 +242,12 @@ def _track_frame_impl(
         p_cam = lie.se3_apply(T, xw)
         uvp = cameras.project_pinhole(cam_K, p_cam)
         vis = (p_cam[:, 2] > 0.05) & lvalid
+        if img_wh is not None:
+            # frustum test includes image bounds (Frame::isInFrustum) —
+            # points projecting off-image are not visibility chances
+            w, h = img_wh
+            vis = vis & (uvp[:, 0] >= 0) & (uvp[:, 0] < w) & \
+                (uvp[:, 1] >= 0) & (uvp[:, 1] < h)
         return uvp, vis
 
     # ---- pass 1: coarse window match at predicted pose + solve
@@ -203,7 +259,10 @@ def _track_frame_impl(
     ok = match >= 0
     slot = jnp.maximum(match, 0)
     T1, inl1 = pose_only_gn(
-        T_pred, xw, frame.uv[slot], ok, cam_K, iters=8
+        T_pred, xw, frame.uv[slot], ok, cam_K, iters=12,
+        gate0=(2.0 * fx_radius) ** 2,
+        depth=frame.depth[slot] if cam_bf is not None else None,
+        bf=cam_bf,
     )
 
     # ---- pass 2: tighter re-match at refined pose + solve (TrackLocalMap)
@@ -214,8 +273,12 @@ def _track_frame_impl(
     )
     ok2 = match2 >= 0
     slot2 = jnp.maximum(match2, 0)
+    # pass 2 polishes from an already-refined pose over a tight re-match —
+    # the final chi2 gate applies from iteration 0 (no wide phase)
     T2, inlier_mask = pose_only_gn(
-        T1, xw, frame.uv[slot2], ok2, cam_K, iters=8
+        T1, xw, frame.uv[slot2], ok2, cam_K, iters=12,
+        depth=frame.depth[slot2] if cam_bf is not None else None,
+        bf=cam_bf,
     )
 
     # per-frame-slot matched point ids (for keyframe insertion), inliers only
@@ -224,10 +287,13 @@ def _track_frame_impl(
     slot_pt = jnp.full((F,), -1, jnp.int32).at[
         jnp.where(keep, match2, F - 1)
     ].max(jnp.where(keep, ids, -1).astype(jnp.int32), mode="drop")
-    # visibility stats for culling: predicted-visible and actually-found
+    # visibility stats for culling (MapPoint::IncreaseVisible): every local
+    # point predicted in this frame's frustum counts as a sighting chance
+    vis_pt = jnp.where(vis2, ids, -1).astype(jnp.int32)
     return TrackResult(
         pose=T2,
         slot_pt=slot_pt,
+        vis_pt=vis_pt,
         n_matches=jnp.sum(ok2.astype(jnp.int32)),
         n_inliers=jnp.sum(keep.astype(jnp.int32)),
         n_local_pts=jnp.sum(lvalid.astype(jnp.int32)),
@@ -236,7 +302,7 @@ def _track_frame_impl(
 
 @functools.partial(
     jax.jit, static_argnames=("n_window", "n_local", "fx_radius",
-                              "fine_radius"),
+                              "fine_radius", "img_wh"),
 )
 def track_frame_full(
     m: MapState,
@@ -250,6 +316,8 @@ def track_frame_full(
     n_local: int = 4096,
     fx_radius: float = 15.0,
     fine_radius: float = 7.0,
+    cam_bf: jax.Array = None,
+    img_wh: tuple | None = None,
 ):
     """The whole per-frame tracking decision tree as ONE program: coarse
     track at the predicted pose, and — only when inliers fall short — the
@@ -262,12 +330,13 @@ def track_frame_full(
     over the remote-TPU tunnel, so the hot loop does exactly one).
     """
     res1 = _track_frame_impl(m, frame, T_pred, ref_kf, cam_K, n_window,
-                             n_local, fx_radius, fine_radius)
+                             n_local, fx_radius, fine_radius, cam_bf, img_wh)
     need_retry = res1.n_inliers < min_inliers
 
     def retry(_):
         return _track_frame_impl(m, frame, T_last, ref_kf, cam_K, n_window,
-                                 n_local, fx_radius * 4.0, fine_radius * 2.0)
+                                 n_local, fx_radius * 4.0, fine_radius * 2.0,
+                                 cam_bf, img_wh)
 
     res = jax.lax.cond(need_retry, retry, lambda _: res1, None)
     new_m = update_point_stats(m, res)
@@ -296,17 +365,19 @@ def make_frame_step(cam, orb, n_window: int, n_local: int,
     frame_fn = _jit_frame_obs(cam, orb, has_depth)
 
     def step(m: MapState, gray, depth_img, ts, T_last, velocity,
-             ref_kf, cam_K, min_inliers):
+             ref_kf, cam_K, min_inliers, cam_bf=None):
         frame = frame_fn(gray, depth_img, ts)
         T_pred = lie.se3_normalize(lie.se3_multiply(velocity, T_last))
+        wh = (cam.width, cam.height)
         res1 = _track_frame_impl(m, frame, T_pred, ref_kf, cam_K,
-                                 n_window, n_local, fx_radius, fine_radius)
+                                 n_window, n_local, fx_radius, fine_radius,
+                                 cam_bf, wh)
         need_retry = res1.n_inliers < min_inliers
 
         def retry(_):
             return _track_frame_impl(m, frame, T_last, ref_kf, cam_K,
                                      n_window, n_local, fx_radius * 4.0,
-                                     fine_radius * 2.0)
+                                     fine_radius * 2.0, cam_bf, wh)
 
         res = jax.lax.cond(need_retry, retry, lambda _: res1, None)
         accepted = res.n_inliers >= min_inliers
@@ -342,4 +413,8 @@ def update_point_stats(m: MapState, track: TrackResult) -> MapState:
     pt_found = m.pt_found.at[jnp.maximum(found_ids, 0)].add(
         (found_ids >= 0).astype(jnp.int32), mode="drop"
     )
-    return m._replace(pt_found=pt_found)
+    vis_ids = track.vis_pt
+    pt_visible = m.pt_visible.at[jnp.maximum(vis_ids, 0)].add(
+        (vis_ids >= 0).astype(jnp.int32), mode="drop"
+    )
+    return m._replace(pt_found=pt_found, pt_visible=pt_visible)
