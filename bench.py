@@ -4,10 +4,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The reference's real-time operating point is 30 fps on a desktop CPU
 (BASELINE.md: TUM camera rate, tracking designed to keep up).
-``vs_baseline`` is therefore measured fps / 30.  The run covers the full
-per-frame path — ORB extraction, local-map tracking with two
-match+pose-optimize passes, keyframe insertion, local BA, culling — on a
-synthetic 640x480 RGB-D stream with 1000 features (TUM1.yaml budget).
+``vs_baseline`` is therefore measured fps / 30.  The run covers the FULL
+system — ORB extraction, local-map tracking (B-frame pipelined device
+scans), keyframe insertion, local BA with scene-graph plane/room factors,
+plane detection + association + semantic voting, place recognition with
+loop closure — on a synthetic 640x480 RGB-D orbit with 1000 features
+(TUM1.yaml budget) that revisits its start (one real loop closure fires).
 """
 
 from __future__ import annotations
@@ -39,18 +41,20 @@ def _enable_compile_cache():
 def main():
     _enable_compile_cache()
     import jax
+    import jax.numpy as jnp
 
     from visual_sgraphs_tpu.config import (
         CapacityConfig,
         OrbConfig,
+        PlaceConfig,
         Sensor,
         SystemConfig,
+        TrackingConfig,
     )
     from visual_sgraphs_tpu.core import geometry
     from visual_sgraphs_tpu.io.synthetic import SyntheticScene
+    from visual_sgraphs_tpu.scenegraph.manager import SceneGraphManager
     from visual_sgraphs_tpu.slam import SlamSystem
-
-    import jax.numpy as jnp
 
     scene = SyntheticScene(h=480, w=640)
     cfg = SystemConfig(
@@ -58,21 +62,35 @@ def main():
         camera=scene.cam,
         orb=OrbConfig(n_features=1000),
         capacity=CapacityConfig(max_keyframes=128, max_points=32768),
+        tracking=TrackingConfig(pipeline_depth=8),
+        loop_closing=True,
+        place=PlaceConfig(vocab_min_keyframes=4, consistency=1, min_gap=8,
+                          loop_min_inliers=15, gba_after_loop=False),
     )
     system = SlamSystem(cfg)
+    system.scenegraph = SceneGraphManager(cfg.scenegraph, cfg.capacity)
 
-    n_frames = 160
-    warmup = 40  # first frames pay compilation (incl. the first keyframe's
-    # BA shapes); steady state measured after
-    frames = list(scene.frames(n_frames, kind="arc"))
+    n_frames = 192
+    warmup = 64  # first frames pay compilation (incl. the first keyframe's
+    # BA + place-recognition shapes); steady state measured after
+    frames = [
+        (jax.block_until_ready(jnp.asarray(g)),
+         jax.block_until_ready(jnp.asarray(d)), s, T, ts)
+        for g, d, s, T, ts in scene.frames_with_semantics(
+            n_frames, kind="orbit"
+        )
+    ]
 
     gt = []
     t_start = None
-    for i, (gray, depth, T_wc, ts) in enumerate(frames):
+    for i, (gray, depth, sem, T_wc, ts) in enumerate(frames):
         if i == warmup:
+            system.flush()
             t_start = time.time()
+        system.scenegraph.provide_semantics(ts, sem)
         system.track_rgbd(gray, depth, ts)
         gt.append(np.asarray(T_wc)[4:7])
+    system.flush()
     elapsed = time.time() - t_start
     fps = (n_frames - warmup) / elapsed
 
@@ -84,13 +102,17 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "rgbd_slam_fps_640x480_1000feat",
+                "metric": "rgbd_slam_fps_640x480_1000feat_loop_sg",
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 30.0, 3),
                 "ate_rmse_m": round(float(rmse), 4),
                 "n_keyframes": int(system.map.n_kf),
                 "n_points": int(system.map.n_pt),
+                "n_planes": int(jnp.sum(
+                    system.scenegraph.state.pl_valid
+                )),
+                "loops_closed": system.loop_closer.n_loops_closed,
                 "device": jax.devices()[0].device_kind,
             }
         )

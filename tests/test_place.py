@@ -213,6 +213,7 @@ class TestLoopClosingE2E:
         for gray, depth, T_wc, ts in scene.frames(80, kind="orbit"):
             system.track_rgbd(gray, depth, ts)
             gt.append(np.asarray(T_wc)[4:7])
+        system.flush()  # resolve the pipelined loop-detection queue
         lc = system.loop_closer
         assert lc.vocab is not None
         assert int(jnp.sum(lc.db.valid)) > 5

@@ -20,7 +20,11 @@ from visual_sgraphs_tpu.scenegraph.manager import (
     detect_rooms,
 )
 from visual_sgraphs_tpu.scenegraph.pointcloud import backproject_depth
-from visual_sgraphs_tpu.scenegraph.state import empty_scenegraph, plane_semantics
+from visual_sgraphs_tpu.scenegraph.state import (
+    UNDEFINED,
+    empty_scenegraph,
+    plane_semantics,
+)
 
 
 def test_voxel_downsample(rng):
@@ -380,3 +384,102 @@ def test_room_and_door_factors_in_joint_ba(rng):
     d0 = np.asarray(sg.door_pose[0, 4:7]) - np.asarray(sg.room_center[0])
     d2 = np.asarray(sg2.door_pose[0, 4:7]) - center
     np.testing.assert_allclose(d2, d0, atol=0.05)
+
+
+def test_multi_room_detection():
+    """Two adjacent rooms' walls -> two 4-wall room candidates with the
+    right wall sets (multi-candidate detectMapRoomCandidate)."""
+    from visual_sgraphs_tpu.scenegraph.manager import detect_rooms
+
+    sg = empty_scenegraph()
+    # room A: x in [-2, 2], z in [0, 4]; room B: x in [-2, 2], z in [5, 9]
+    walls = [
+        ([1.0, 0, 0, 2.0], [-2, 0, 2.0]),    # A left
+        ([-1.0, 0, 0, 2.0], [2, 0, 2.0]),    # A right
+        ([0, 0, 1.0, 0.0], [0, 0, 0.0]),     # A front
+        ([0, 0, -1.0, 4.0], [0, 0, 4.0]),    # A back
+        ([1.0, 0, 0, 2.0], [-2, 0, 7.0]),    # B left
+        ([-1.0, 0, 0, 2.0], [2, 0, 7.0]),    # B right
+        ([0, 0, 1.0, -5.0], [0, 0, 5.0]),    # B front
+        ([0, 0, -1.0, 9.0], [0, 0, 9.0]),    # B back
+    ]
+    for i, (c, cen) in enumerate(walls):
+        sg = sg._replace(
+            pl_coeffs=sg.pl_coeffs.at[i].set(jnp.asarray(c, jnp.float32)),
+            pl_valid=sg.pl_valid.at[i].set(True),
+            pl_centroid=sg.pl_centroid.at[i].set(
+                jnp.asarray(cen, jnp.float32)
+            ),
+            pl_npts=sg.pl_npts.at[i].set(800.0),
+            pl_votes=sg.pl_votes.at[i, WALL].set(10.0),
+            n_planes=sg.n_planes + 1,
+        )
+    sg = detect_rooms(sg, max_gap=4.5)
+    assert int(sg.n_rooms) >= 2, f"only {int(sg.n_rooms)} rooms found"
+    centers = np.asarray(sg.room_center)[np.asarray(sg.room_valid)]
+    zs = sorted(c[2] for c in centers[:2])
+    assert abs(zs[0] - 2.0) < 1.2 and abs(zs[1] - 7.0) < 1.2, centers
+
+
+def test_filter_semantic_planes():
+    """Tilted 'wall' and elevated 'ground' lose their semantics against the
+    dominant ground reference (SemanticsManager.cc:65-113)."""
+    from visual_sgraphs_tpu.scenegraph.manager import filter_semantic_planes
+    from visual_sgraphs_tpu.scenegraph.state import plane_semantics
+
+    sg = empty_scenegraph()
+    rows = [
+        # big true ground (y up normal), at y=0
+        ([0, -1.0, 0, 0.0], [0, 0, 2], 2000.0, GROUND),
+        # proper wall (vertical)
+        ([1.0, 0, 0, 2.0], [-2, 0, 2], 800.0, WALL),
+        # tilted fake wall (45 deg)
+        ([0.7071, -0.7071, 0, 1.0], [1, 1, 2], 500.0, WALL),
+        # elevated fake ground (1.5 m above)
+        ([0, -1.0, 0, 1.5], [0, -1.5, 2], 300.0, GROUND),
+    ]
+    for i, (c, cen, npts, cls) in enumerate(rows):
+        sg = sg._replace(
+            pl_coeffs=sg.pl_coeffs.at[i].set(jnp.asarray(c, jnp.float32)),
+            pl_valid=sg.pl_valid.at[i].set(True),
+            pl_centroid=sg.pl_centroid.at[i].set(
+                jnp.asarray(cen, jnp.float32)
+            ),
+            pl_npts=sg.pl_npts.at[i].set(npts),
+            pl_votes=sg.pl_votes.at[i, cls].set(10.0),
+            n_planes=sg.n_planes + 1,
+        )
+    sg = filter_semantic_planes(sg)
+    sem = np.asarray(plane_semantics(sg, 3.0))
+    assert sem[0] == GROUND and sem[1] == WALL
+    assert sem[2] == UNDEFINED, "tilted wall kept its label"
+    assert sem[3] == UNDEFINED, "elevated ground kept its label"
+
+
+def test_reassociate_merges_close_planes():
+    from visual_sgraphs_tpu.scenegraph.manager import reassociate_planes
+
+    sg = empty_scenegraph()
+    for i, d in enumerate((2.0, 2.05)):
+        sg = sg._replace(
+            pl_coeffs=sg.pl_coeffs.at[i].set(
+                jnp.asarray([1.0, 0, 0, d], jnp.float32)
+            ),
+            pl_valid=sg.pl_valid.at[i].set(True),
+            pl_centroid=sg.pl_centroid.at[i].set(
+                jnp.asarray([-d, 0, 2], jnp.float32)
+            ),
+            pl_npts=sg.pl_npts.at[i].set(500.0 if i == 0 else 100.0),
+            pl_votes=sg.pl_votes.at[i, WALL].set(10.0),
+            n_planes=sg.n_planes + 1,
+        )
+    # an observation pointing at the small plane must be re-pointed
+    sg = sg._replace(
+        ob_plane=sg.ob_plane.at[0].set(1),
+        ob_valid=sg.ob_valid.at[0].set(True),
+        n_obs=jnp.asarray(1, jnp.int32),
+    )
+    sg = reassociate_planes(sg)
+    assert bool(sg.pl_valid[0]) and not bool(sg.pl_valid[1])
+    assert int(sg.ob_plane[0]) == 0
+    assert float(sg.pl_npts[0]) == 600.0

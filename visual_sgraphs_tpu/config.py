@@ -75,6 +75,10 @@ class TrackingConfig:
     kf_max_interval: int = 30  # force new KF after this many frames
     kf_min_tracked_ratio: float = 0.75  # new KF if tracked/ref < this
     recently_lost_budget: float = 5.0  # seconds before LOST (Tracking.cc:2051)
+    # frames tracked per device dispatch (lax.scan pipeline): >1 amortizes
+    # the per-dispatch tunnel latency; host decisions lag by up to this many
+    # frames (the reference's tracking/mapping thread decoupling)
+    pipeline_depth: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

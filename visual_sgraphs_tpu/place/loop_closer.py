@@ -27,7 +27,7 @@ from visual_sgraphs_tpu.core import lie
 from visual_sgraphs_tpu.features.match import match_nn_ratio
 from visual_sgraphs_tpu.place import database as db_mod
 from visual_sgraphs_tpu.place import pgo, vocab as vocab_mod
-from visual_sgraphs_tpu.place.sim3_ransac import ransac_sim3
+from visual_sgraphs_tpu.place.sim3_ransac import ransac_sim3, refine_sim3
 from visual_sgraphs_tpu.slam import mapping
 from visual_sgraphs_tpu.slam.frame import FrameObs
 from visual_sgraphs_tpu.slam.map_state import (
@@ -47,8 +47,10 @@ def _loop_geometry(m: MapState, cur: jax.Array, cand: jax.Array,
 
     Matches descriptors (SearchByBoW equivalent as one dense NN pass,
     ORBmatcher.cc), lifts both sides' associated map points into their own
-    camera frames, and solves the relative Sim3 by batched RANSAC
-    (Sim3Solver.cc).  Returns (S_cand_cur (8,), n_inliers ()).
+    camera frames, solves the relative Sim3 by batched RANSAC
+    (Sim3Solver.cc), polishes it nonlinearly (OptimizeSim3) and counts
+    guided re-match support (SearchByProjection verification).
+    Returns (S_cand_cur (8,), n_inliers (), n_guided ()).
     """
     desc_a, desc_b = m.kf_desc[cur], m.kf_desc[cand]
     obs_a, obs_b = m.kf_obs_pt[cur], m.kf_obs_pt[cand]
@@ -67,7 +69,32 @@ def _loop_geometry(m: MapState, cur: jax.Array, cand: jax.Array,
     p_b = lie.se3_apply(m.kf_pose[cand], m.pt_pos[pt_b])
     res = ransac_sim3(p_a, p_b, ok, key, inlier_thresh=inlier_thresh,
                       fix_scale=fix_scale)
-    return res.S_ab, res.n_inliers
+    # nonlinear Sim3 polish (OptimizeSim3, Optimizer.cc:3261) ...
+    res = refine_sim3(res.S_ab, p_a, p_b, ok,
+                      inlier_thresh=inlier_thresh, fix_scale=fix_scale)
+    # ... then guided re-matching under the refined Sim3: every point of
+    # ``cur`` transformed into ``cand``'s frame must find a spatial +
+    # descriptor neighbour (the SearchByProjection verification pass,
+    # LoopClosing.cc:560-948) — the accept count is the guided count, not
+    # the raw RANSAC vote
+    va_all = m.kf_kp_valid[cur] & (obs_a >= 0) & m.pt_valid[pt_a]
+    p_a_all = lie.sim3_apply(
+        res.S_ab, lie.se3_apply(m.kf_pose[cur], m.pt_pos[pt_a])
+    )  # (F, 3) in cand frame
+    pt_b_all = jnp.maximum(obs_b, 0)
+    vb_all = m.kf_kp_valid[cand] & (obs_b >= 0) & m.pt_valid[pt_b_all]
+    p_b_all = lie.se3_apply(m.kf_pose[cand], m.pt_pos[pt_b_all])
+    d2 = jnp.sum(
+        (p_a_all[:, None, :] - p_b_all[None, :, :]) ** 2, axis=-1
+    )
+    near = (d2 < (2.0 * inlier_thresh) ** 2) & va_all[:, None] & \
+        vb_all[None, :]
+    # descriptor agreement among spatial neighbours (popcount hamming)
+    xor = jnp.bitwise_xor(desc_a[:, None, :], desc_b[None, :, :])
+    hd = jnp.sum(jax.lax.population_count(xor).astype(jnp.int32), axis=-1)
+    guided = near & (hd <= 64)
+    n_guided = jnp.sum(jnp.any(guided, axis=1).astype(jnp.int32))
+    return res.S_ab, res.n_inliers, n_guided
 
 
 @jax.jit
@@ -101,6 +128,31 @@ def _exclusion_mask(m: MapState, kf: jax.Array, min_gap: int = 10):
     slots = jnp.arange(m.K)
     recent = jnp.abs(slots - kf) < min_gap
     return covis | recent | ~m.kf_valid, covis
+
+
+@partial(jax.jit, static_argnames=("min_gap", "top_n"))
+def _detect_program(m: MapState, db: db_mod.PlaceDB,
+                    vocab: vocab_mod.VocabTree, kf: jax.Array,
+                    min_gap: int, top_n: int):
+    """The WHOLE per-keyframe place-recognition query as one program:
+    BoW vector, covisibility exclusion, database validity sync, candidate
+    retrieval, insertion, and the covisible reference score — returning the
+    updated database plus one packed scalar vector the host reads back a
+    keyframe LATER (the LoopClosing thread's asynchrony, LoopClosing.cc:86,
+    re-expressed as a one-keyframe-deep pipeline)."""
+    bow = vocab_mod.bow_vector(vocab, m.kf_desc[kf], m.kf_kp_valid[kf])
+    exclude, covis = _exclusion_mask(m, kf, min_gap)
+    db = db._replace(valid=db.valid & m.kf_valid)
+    cand_ids, cand_scores = db_mod.detect_candidates(
+        db, bow, exclude, top_n=top_n
+    )
+    new_db = db_mod.add_keyframe(db, kf, bow)
+    ref = db_mod.best_covisible_score(new_db, bow, covis)
+    packed = jnp.concatenate([
+        ref[None], cand_ids.astype(jnp.float32), cand_scores,
+        jnp.sum(db.valid.astype(jnp.float32))[None],
+    ])
+    return new_db, packed
 
 
 _backfill_bow = jax.jit(
@@ -146,6 +198,8 @@ class LoopCloser:
         self._rng = np.random.default_rng(cfg.seed)
         self.n_loops_closed = 0
         self.last_loop: tuple[int, int] | None = None
+        # one-keyframe-deep detection pipeline: (kf_host, packed scalars)
+        self._pending_det: tuple[int, jax.Array] | None = None
 
     # ------------------------------------------------------------ internal
 
@@ -155,6 +209,7 @@ class LoopCloser:
         self.db = None
         self._consistent_cand = -1
         self._consistent_count = 0
+        self._pending_det = None
 
     def rebuild_db(self, m: MapState) -> None:
         """Recompute every keyframe's BoW row (after an Atlas merge)."""
@@ -168,14 +223,15 @@ class LoopCloser:
                     self.db, jnp.asarray(k, jnp.int32), bows[k]
                 )
 
-    def _ensure_vocab(self, m: MapState) -> bool:
+    def _ensure_vocab(self, m: MapState, n_kf_host: int | None = None) -> bool:
         """Lazily train the vocabulary from the map's own descriptors once
-        enough keyframes exist, then backfill the database."""
+        enough keyframes exist, then backfill the database.  ``n_kf_host``
+        avoids a device sync on the hot path."""
         if self.vocab is not None:
             if self.db is None:
                 self.db = db_mod.empty_db(m.K, self.vocab.n_words)
             return True
-        n_kf = int(m.n_kf)
+        n_kf = int(m.n_kf) if n_kf_host is None else n_kf_host
         if n_kf < self.cfg.vocab_min_keyframes:
             return False
         desc = np.asarray(m.kf_desc[:n_kf]).reshape(-1, 32)
@@ -203,34 +259,48 @@ class LoopCloser:
 
     # ---------------------------------------------------------------- api
 
-    def on_keyframe(self, system, kf, frame: FrameObs) -> bool:
-        """Detect + close a loop at keyframe ``kf``.  Returns True if the
-        map was corrected (caller must refresh its cached poses)."""
+    def on_keyframe(self, system, kf, frame: FrameObs,
+                    kf_host: int | None = None) -> bool:
+        """Queue place-recognition for keyframe ``kf`` and resolve the
+        PREVIOUS keyframe's query (one-keyframe-deep pipeline — the
+        detection program's scalars are read back only after a full
+        keyframe interval of device work has overlapped them).  Returns
+        True if the map was corrected at this call (caller must refresh
+        cached poses)."""
         m: MapState = system.map
-        if not self._ensure_vocab(m):
+        if not self._ensure_vocab(m, getattr(system, "n_kf_host", None)):
             return False
+        corrected = False
+        prev, self._pending_det = self._pending_det, None
+        if prev is not None:
+            corrected = self._resolve_detection(system, *prev)
         kf = jnp.asarray(kf, jnp.int32)
-        bow = vocab_mod.bow_vector(self.vocab, m.kf_desc[kf],
-                                   m.kf_kp_valid[kf])
-        exclude, covis = _exclusion_mask(m, kf, self.cfg.min_gap)
-        # keep the database's validity in sync with keyframe culling
-        self.db = self.db._replace(valid=self.db.valid & m.kf_valid)
-        cand_ids, cand_scores = db_mod.detect_candidates(
-            self.db, bow, exclude, top_n=self.cfg.top_n_candidates
+        self.db, packed = _detect_program(
+            system.map, self.db, self.vocab, kf,
+            self.cfg.min_gap, self.cfg.top_n_candidates,
         )
-        self.db = db_mod.add_keyframe(self.db, kf, bow)
+        self._pending_det = (
+            kf_host if kf_host is not None else int(kf), packed
+        )
+        return corrected
 
-        # score must rival the best covisible score (LoopClosing's minScore);
-        # pack everything into ONE readback (25 ms per D2H round trip)
-        ref_score_dev = db_mod.best_covisible_score(self.db, bow, covis)
-        packed = np.asarray(jnp.concatenate([
-            ref_score_dev[None], cand_ids.astype(jnp.float32),
-            cand_scores,
-        ]))
+    def flush(self, system) -> bool:
+        """Resolve any queued detection now (end of stream / before state
+        export)."""
+        prev, self._pending_det = self._pending_det, None
+        if prev is None:
+            return False
+        return self._resolve_detection(system, *prev)
+
+    def _resolve_detection(self, system, kf_host: int,
+                           packed: jax.Array) -> bool:
+        """Host half of NewDetectCommonRegions + CorrectLoop for the
+        keyframe whose query was dispatched last time."""
+        pk = np.asarray(packed)
         n_top = self.cfg.top_n_candidates
-        ref_score = float(packed[0])
-        cand_ids = packed[1:1 + n_top].astype(np.int32)
-        cand_scores = packed[1 + n_top:]
+        ref_score = float(pk[0])
+        cand_ids = pk[1:1 + n_top].astype(np.int32)
+        cand_scores = pk[1 + n_top:1 + 2 * n_top]
         best = -1
         for cid, sc in zip(cand_ids, cand_scores):
             if cid >= 0 and sc >= self.cfg.loop_score_ratio * max(
@@ -257,14 +327,21 @@ class LoopCloser:
         if self._consistent_count < self.cfg.consistency:
             return False
 
-        # geometric verification
+        # geometric verification (against the CURRENT map — the keyframe's
+        # slot data persists; a later cull would just fail verification)
+        m: MapState = system.map
+        kf = jnp.asarray(kf_host, jnp.int32)
         key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31)))
         fix_scale = not system.cfg.sensor_is_monocular()
-        S_cand_cur, n_inl = _loop_geometry(
+        S_cand_cur, n_inl, n_guided = _loop_geometry(
             m, kf, jnp.asarray(best, jnp.int32), key,
             self.cfg.loop_inlier_thresh_3d, fix_scale=fix_scale,
         )
-        if int(n_inl) < self.cfg.loop_min_inliers:
+        # double acceptance: optimized-Sim3 inliers AND guided re-match
+        # support (the reference's OptimizeSim3 >= 20 then
+        # SearchByProjection >= 40 double gate, LoopClosing.cc:560-948)
+        if int(n_inl) < self.cfg.loop_min_inliers or \
+                int(n_guided) < self.cfg.loop_min_inliers:
             return False
 
         # ---- correct: essential graph + point propagation (CorrectLoop)
@@ -287,7 +364,7 @@ class LoopCloser:
         if self.cfg.gba_after_loop:
             system.run_global_ba(iters=self.cfg.gba_iters)
         self.n_loops_closed += 1
-        self.last_loop = (int(kf), best)
+        self.last_loop = (kf_host, best)
         self._consistent_count = 0
         self._consistent_cand = -1
         return True

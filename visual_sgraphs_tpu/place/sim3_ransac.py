@@ -72,3 +72,44 @@ def ransac_sim3(
     inl_out = jnp.where(better, inl_ref, inl[best])
     return Sim3Result(S_ab=S_out, inliers=inl_out,
                       n_inliers=jnp.sum(inl_out).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("iters", "fix_scale"))
+def refine_sim3(S: jax.Array, p_a: jax.Array, p_b: jax.Array,
+                valid: jax.Array, inlier_thresh: float = 0.10,
+                iters: int = 5, fix_scale: bool = False) -> Sim3Result:
+    """Nonlinear Sim3 refinement over all matches with Huber IRLS — the
+    OptimizeSim3 step the reference runs after RANSAC acceptance
+    (Optimizer.cc:3261; it refines on reprojection in both images — with
+    calibrated depth the 3D alignment residual r = S·p_a − p_b carries the
+    same constraint).  Gauss-Newton on the 7-dof tangent with re-gating per
+    iteration; returns the refreshed inlier classification."""
+
+    def step(S, _):
+        def res(xi):
+            Sx = lie.sim3_boxplus(S, xi)
+            return lie.sim3_apply(Sx, p_a) - p_b  # (M, 3)
+
+        z = jnp.zeros((7,), S.dtype)
+        r = res(z)
+        J = jax.jacfwd(res)(z)  # (M, 3, 7)
+        d = jnp.linalg.norm(r, axis=-1)
+        w = jnp.where(valid & (d < inlier_thresh * 3.0),
+                      jnp.minimum(1.0, inlier_thresh / jnp.maximum(d, 1e-9)),
+                      0.0)
+        Jw = J * w[:, None, None]
+        H = jnp.einsum("mri,mrj->ij", Jw, J)
+        g = jnp.einsum("mri,mr->i", Jw, r)
+        if fix_scale:
+            H = H.at[6, :].set(0.0).at[:, 6].set(0.0).at[6, 6].set(1.0)
+            g = g.at[6].set(0.0)
+        H = H + jnp.eye(7, dtype=H.dtype) * 1e-5
+        dx = jnp.linalg.solve(H, -g)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        return lie.sim3_normalize(lie.sim3_boxplus(S, dx)), None
+
+    S, _ = jax.lax.scan(step, S, None, length=iters)
+    err = jnp.linalg.norm(lie.sim3_apply(S, p_a) - p_b, axis=-1)
+    inl = (err < inlier_thresh) & valid
+    return Sim3Result(S_ab=S, inliers=inl,
+                      n_inliers=jnp.sum(inl.astype(jnp.int32)))

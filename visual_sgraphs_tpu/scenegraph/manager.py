@@ -273,109 +273,238 @@ def detect_planes_from_depth(
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("max_candidates",))
 def detect_rooms(sg: SceneGraphState, min_votes: float = 3.0,
                  min_gap: float = 0.8, max_gap: float = 12.0,
-                 perp_tol: float = 0.2):
+                 perp_tol: float = 0.2, max_candidates: int = 3):
     """Facing-wall-pair analysis -> corridor (2-wall) / room (4-wall)
     candidates with centers from the wall geometry
     (SemanticsManager::detectMapRoomCandidate*, getRectangularRoom,
-    Utils::getAllPlanesFacingEachOther / getRoomCenter)."""
+    Utils::getAllPlanesFacingEachOther / getRoomCenter).
+
+    Runs ``max_candidates`` greedy rounds, masking out walls already
+    consumed, so multi-room environments yield several candidates per pass
+    (the reference iterates over all free-space clusters,
+    SemanticsManager.cc:302-403).  Each found candidate also gets the
+    nearest compatible ground plane attached
+    (GeoSemHelpers::associateGroundPlaneToRoom, GeoSemHelpers.cc:421-459).
+    """
     sem = plane_semantics(sg, min_votes)
-    is_wall = sg.pl_valid & (sem == WALL)
     P = sg.P
     n = sg.pl_coeffs[:, :3]
-    d = -sg.pl_coeffs[:, 3]  # signed distance (n·x = d)
+    is_ground = sg.pl_valid & (sem == GROUND)
+    pi, pj = jnp.nonzero(jnp.ones((P, P), bool), size=P * P)
 
-    # facing pairs: opposite normals, physically separated, mutually visible
-    dot = n @ n.T
-    # gap between facing planes i, j: project centroid difference onto n_i
-    cdiff = sg.pl_centroid[None, :, :] - sg.pl_centroid[:, None, :]
-    gap = jnp.abs(jnp.einsum("pi,pqi->pq", n, cdiff))
-    lateral = jnp.linalg.norm(
-        cdiff - jnp.einsum("pqi,pi->pq", cdiff, n)[..., None] * n[:, None, :],
-        axis=-1,
-    )
-    facing = (
-        is_wall[:, None]
-        & is_wall[None, :]
-        & (dot < -0.9)
-        & (gap > min_gap)
-        & (gap < max_gap)
-        & (lateral < max_gap)
-    )
-    facing = facing & (jnp.arange(P)[:, None] < jnp.arange(P)[None, :])
+    wall_free = sg.pl_valid & (sem == WALL)
 
-    # pair centers: midpoint between the two planes along the shared normal
-    pair_center = 0.5 * (sg.pl_centroid[:, None, :] + sg.pl_centroid[None, :, :])
+    def round_body(sg_and_free, _):
+        sg, wall_free = sg_and_free
+        is_wall = wall_free
 
-    # 4-wall rooms: two facing pairs with perpendicular normals and nearby
-    # pair centers (getRectangularRoom, SemanticsManager.cc:170-200)
-    pi, pj = jnp.nonzero(
-        jnp.ones((P, P), bool), size=P * P
-    )  # static index grids
-    fac_flat = facing[pi, pj]
+        dot = n @ n.T
+        cdiff = sg.pl_centroid[None, :, :] - sg.pl_centroid[:, None, :]
+        gap = jnp.abs(jnp.einsum("pi,pqi->pq", n, cdiff))
+        lateral = jnp.linalg.norm(
+            cdiff - jnp.einsum("pqi,pi->pq", cdiff, n)[..., None]
+            * n[:, None, :],
+            axis=-1,
+        )
+        facing = (
+            is_wall[:, None]
+            & is_wall[None, :]
+            & (dot < -0.9)
+            & (gap > min_gap)
+            & (gap < max_gap)
+            & (lateral < max_gap)
+        )
+        facing = facing & (jnp.arange(P)[:, None] < jnp.arange(P)[None, :])
+        pair_center = 0.5 * (
+            sg.pl_centroid[:, None, :] + sg.pl_centroid[None, :, :]
+        )
+        fac_flat = facing[pi, pj]
+        support = jnp.where(fac_flat, sg.pl_npts[pi] + sg.pl_npts[pj], -1.0)
+        b1 = jnp.argmax(support)
+        i1, j1 = pi[b1], pj[b1]
+        have1 = support[b1] > 0
+        n1 = n[i1]
+        perp = jnp.abs(jnp.einsum("i,qi->q", n1, n[pi])) < perp_tol
+        center_dist = jnp.linalg.norm(
+            pair_center[pi, pj] - pair_center[i1, j1], axis=-1
+        )
+        score2 = jnp.where(fac_flat & perp, -center_dist, -jnp.inf)
+        b2 = jnp.argmax(score2)
+        i2, j2 = pi[b2], pj[b2]
+        have2 = jnp.isfinite(score2[b2])
 
-    best_room = {
-        "found": jnp.zeros((), bool),
-        "walls": jnp.full((4,), -1, jnp.int32),
-        "center": jnp.zeros((3,), jnp.float32),
-    }
-    # choose the two best facing pairs greedily on device: first pair = the
-    # one with most support (npts sum); second = perpendicular pair with the
-    # closest center
-    support = jnp.where(fac_flat, sg.pl_npts[pi] + sg.pl_npts[pj], -1.0)
-    b1 = jnp.argmax(support)
-    i1, j1 = pi[b1], pj[b1]
-    have1 = support[b1] > 0
-    n1 = n[i1]
-    perp = jnp.abs(jnp.einsum("i,qi->q", n1, n[pi])) < perp_tol
-    center_dist = jnp.linalg.norm(
-        pair_center[pi, pj] - pair_center[i1, j1], axis=-1
-    )
-    score2 = jnp.where(fac_flat & perp, -center_dist, -jnp.inf)
-    b2 = jnp.argmax(score2)
-    i2, j2 = pi[b2], pj[b2]
-    have2 = jnp.isfinite(score2[b2])
+        room_found = have1 & have2
+        room_center = 0.5 * (pair_center[i1, j1] + pair_center[i2, j2])
+        room_walls = jnp.stack([i1, j1, i2, j2]).astype(jnp.int32)
+        corridor_found = have1 & ~have2
+        corr_center = pair_center[i1, j1]
+        corr_walls = jnp.stack(
+            [i1, j1, jnp.asarray(-1), jnp.asarray(-1)]
+        ).astype(jnp.int32)
+        found = room_found | corridor_found
+        center = jnp.where(room_found, room_center, corr_center)
+        walls = jnp.where(room_found, room_walls, corr_walls)
 
-    room_found = have1 & have2
-    room_center = 0.5 * (pair_center[i1, j1] + pair_center[i2, j2])
-    room_walls = jnp.stack([i1, j1, i2, j2]).astype(jnp.int32)
+        # ground association: biggest ground plane laterally close to the
+        # candidate center
+        g_support = jnp.where(is_ground, sg.pl_npts, -1.0)
+        g_lat = jnp.linalg.norm(sg.pl_centroid - center[None, :], axis=-1)
+        g_ok = is_ground & (g_lat < max_gap)
+        g_best = jnp.argmax(jnp.where(g_ok, g_support, -1.0))
+        ground_id = jnp.where(
+            found & jnp.any(g_ok), g_best.astype(jnp.int32), -1
+        )
 
-    corridor_found = have1 & ~have2
-    corr_center = pair_center[i1, j1]
-    corr_walls = jnp.stack(
-        [i1, j1, jnp.asarray(-1), jnp.asarray(-1)]
-    ).astype(jnp.int32)
+        # associate with existing rooms by shared walls or center distance
+        # (roomAssociation, SemanticsManager.cc:410-474) else create
+        shared = jnp.sum(
+            (sg.room_walls[:, :, None] == walls[None, None, :])
+            & (sg.room_walls[:, :, None] >= 0),
+            axis=(1, 2),
+        )
+        cdist = jnp.linalg.norm(sg.room_center - center[None, :], axis=-1)
+        cand = sg.room_valid & ((cdist < 1.5) | (shared >= 2))
+        match = jnp.argmin(jnp.where(cand, cdist, jnp.inf))
+        matched = found & cand[match]
+        slot = jnp.where(
+            matched, match,
+            jnp.minimum(sg.n_rooms, sg.room_valid.shape[0] - 1),
+        )
+        can = found & (matched | (sg.n_rooms < sg.room_valid.shape[0]))
+        sg = sg._replace(
+            room_center=sg.room_center.at[slot].set(
+                jnp.where(can, center, sg.room_center[slot])
+            ),
+            room_walls=sg.room_walls.at[slot].set(
+                jnp.where(can, walls, sg.room_walls[slot])
+            ),
+            room_is_corridor=sg.room_is_corridor.at[slot].set(
+                jnp.where(can, corridor_found, sg.room_is_corridor[slot])
+            ),
+            room_ground=sg.room_ground.at[slot].set(
+                jnp.where(can, ground_id, sg.room_ground[slot])
+            ),
+            room_valid=sg.room_valid.at[slot].set(can | sg.room_valid[slot]),
+            n_rooms=sg.n_rooms + (can & ~matched).astype(jnp.int32),
+        )
+        # consume this candidate's walls for the next greedy round
+        used = jnp.zeros((P,), bool).at[
+            jnp.clip(walls, 0, P - 1)
+        ].set(walls >= 0)
+        wall_free = wall_free & ~jnp.where(found, used, False)
+        return (sg, wall_free), None
 
-    found = room_found | corridor_found
-    center = jnp.where(room_found, room_center, corr_center)
-    walls = jnp.where(room_found, room_walls, corr_walls)
-
-    # associate with existing rooms by center distance (roomAssociation,
-    # SemanticsManager.cc:410-474) else create
-    cdist = jnp.linalg.norm(sg.room_center - center[None, :], axis=-1)
-    cand = sg.room_valid & (cdist < 1.5)
-    match = jnp.argmin(jnp.where(cand, cdist, jnp.inf))
-    matched = found & jnp.isfinite(
-        jnp.where(cand[match], cdist[match], jnp.inf)
-    )
-    slot = jnp.where(matched, match, jnp.minimum(sg.n_rooms, sg.room_valid.shape[0] - 1))
-    can = found & (matched | (sg.n_rooms < sg.room_valid.shape[0]))
-    sg = sg._replace(
-        room_center=sg.room_center.at[slot].set(
-            jnp.where(can, center, sg.room_center[slot])
-        ),
-        room_walls=sg.room_walls.at[slot].set(
-            jnp.where(can, walls, sg.room_walls[slot])
-        ),
-        room_is_corridor=sg.room_is_corridor.at[slot].set(
-            jnp.where(can, corridor_found, sg.room_is_corridor[slot])
-        ),
-        room_valid=sg.room_valid.at[slot].set(can | sg.room_valid[slot]),
-        n_rooms=sg.n_rooms + (can & ~matched).astype(jnp.int32),
+    (sg, _), _ = jax.lax.scan(
+        round_body, (sg, wall_free), None, length=max_candidates
     )
     return sg
+
+
+@jax.jit
+def filter_semantic_planes(sg: SceneGraphState, min_votes: float = 3.0,
+                           max_tilt_wall: float = 0.25,
+                           max_tilt_ground: float = 0.25,
+                           max_step_elevation: float = 0.5):
+    """Reset mislabeled wall/ground semantics against the biggest ground
+    plane's reference frame (SemanticsManager::filterWallPlanes /
+    filterGroundPlanes, SemanticsManager.cc:65-113): walls whose normal
+    tilts out of the ground plane, and grounds that sit a step above/below
+    the dominant ground or tilt away from it, lose their votes."""
+    sem = plane_semantics(sg, min_votes)
+    is_g = sg.pl_valid & (sem == GROUND)
+    has_g = jnp.any(is_g)
+    gidx = jnp.argmax(jnp.where(is_g, sg.pl_npts, -1.0))
+    up = sg.pl_coeffs[gidx, :3]  # unit ground normal (the rectifying axis)
+
+    tilt_w = jnp.abs(sg.pl_coeffs[:, :3] @ up)
+    reset_w = sg.pl_valid & (sem == WALL) & (tilt_w > max_tilt_wall)
+
+    h = sg.pl_centroid @ up
+    dh = jnp.abs(h - h[gidx])
+    align_g = jnp.abs(sg.pl_coeffs[:, :3] @ up)
+    reset_g = (
+        sg.pl_valid & (sem == GROUND)
+        & (jnp.arange(sg.P) != gidx)
+        & ((dh > max_step_elevation) | (align_g < 1.0 - max_tilt_ground))
+    )
+    reset = (reset_w | reset_g) & has_g
+    return sg._replace(
+        pl_votes=jnp.where(reset[:, None], 0.0, sg.pl_votes)
+    )
+
+
+@jax.jit
+def reassociate_planes(sg: SceneGraphState, min_votes: float = 3.0,
+                       ominus_thresh: float = 0.2,
+                       dist_thresh: float = 0.25,
+                       centroid_thresh: float = 2.0):
+    """Post-BA re-association: merge the single closest same-class plane
+    pair that optimization moved together (Utils::reAssociateSemanticPlanes,
+    Utils.cc:550-620 — the reference's 1 Hz thread merges one pair per
+    visit too; repeated calls converge).  The smaller plane's observations,
+    votes and support transfer to the bigger one and its slot invalidates.
+    """
+    sem = plane_semantics(sg, min_votes)
+    P = sg.P
+    diff = jax.vmap(
+        lambda c: jax.vmap(lambda r: plane_mod.ominus(r, c))(sg.pl_coeffs)
+    )(sg.pl_coeffs)  # (P, P, 3): diff[j, i] = ominus(ref=i, other=j)
+    ang = jnp.linalg.norm(diff[..., :2], axis=-1)
+    dd = jnp.abs(diff[..., 2])
+    cdist = jnp.linalg.norm(
+        sg.pl_centroid[:, None, :] - sg.pl_centroid[None, :, :], axis=-1
+    )
+    same = (
+        sg.pl_valid[:, None] & sg.pl_valid[None, :]
+        & (sem[:, None] == sem[None, :])
+        & (sem[:, None] != UNDEFINED)
+        & (jnp.arange(P)[:, None] < jnp.arange(P)[None, :])
+    )
+    mergeable = same & (ang < ominus_thresh) & (dd < dist_thresh) & (
+        cdist < centroid_thresh
+    )
+    score = jnp.where(mergeable, ang + dd, jnp.inf)
+    flat = jnp.argmin(score.reshape(-1))
+    i, j = flat // P, flat % P
+    do = jnp.isfinite(score.reshape(-1)[flat])
+    # bigger plane keeps the slot
+    big = jnp.where(sg.pl_npts[i] >= sg.pl_npts[j], i, j)
+    small = jnp.where(sg.pl_npts[i] >= sg.pl_npts[j], j, i)
+    w_b = jnp.maximum(sg.pl_npts[big], 1.0)
+    w_s = jnp.maximum(sg.pl_npts[small], 1.0)
+    alpha = w_s / (w_b + w_s)
+    new_centroid = sg.pl_centroid[big] * (1 - alpha) + \
+        sg.pl_centroid[small] * alpha
+    return sg._replace(
+        pl_votes=sg.pl_votes.at[big].add(
+            jnp.where(do, sg.pl_votes[small], 0.0)
+        ),
+        pl_npts=sg.pl_npts.at[big].add(
+            jnp.where(do, sg.pl_npts[small], 0.0)
+        ),
+        pl_nobs=sg.pl_nobs.at[big].add(
+            jnp.where(do, sg.pl_nobs[small], 0)
+        ),
+        pl_centroid=sg.pl_centroid.at[big].set(
+            jnp.where(do, new_centroid, sg.pl_centroid[big])
+        ),
+        pl_valid=sg.pl_valid.at[small].set(
+            jnp.where(do, False, sg.pl_valid[small])
+        ),
+        # re-point the smaller plane's observations (and room walls)
+        ob_plane=jnp.where(
+            do & (sg.ob_plane == small), big, sg.ob_plane
+        ),
+        room_walls=jnp.where(
+            do & (sg.room_walls == small), big, sg.room_walls
+        ),
+        room_ground=jnp.where(
+            do & (sg.room_ground == small), big, sg.room_ground
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -395,6 +524,12 @@ class SceneGraphManager:
         self.state = empty_scenegraph(capacity or CapacityConfig())
         self._key = jax.random.PRNGKey(seed)
         self._pending_sem = {}
+        # lagged host mirror of n_obs: refreshed one keyframe behind so the
+        # hot path never blocks on a device scalar
+        self.n_obs_host = 0
+        self._nobs_handle = None
+        self._kf_count = 0
+        self.maintenance_interval = 4  # KFs between filter/re-associate runs
 
     def provide_semantics(self, timestamp: float, sem_img, conf_img=None):
         """Register a per-pixel class image (and optional per-pixel
@@ -431,9 +566,23 @@ class SceneGraphManager:
             ominus_thresh=self.cfg.plane_assoc_ominus_thresh,
             dist_thresh=self.cfg.plane_assoc_dist_thresh,
         )
+        # periodic semantics maintenance (the 1 Hz SemanticsManager thread,
+        # SemanticsManager.cc:13-56): tilt/elevation filtering of mislabeled
+        # planes, then post-optimization re-association/merging
+        self._kf_count += 1
+        if self._kf_count % self.maintenance_interval == 0:
+            self.state = filter_semantic_planes(
+                self.state, min_votes=self.cfg.plane_min_votes
+            )
+            self.state = reassociate_planes(
+                self.state, min_votes=self.cfg.plane_min_votes,
+            )
         self.state = detect_rooms(
             self.state, min_votes=self.cfg.plane_min_votes
         )
+        if self._nobs_handle is not None:
+            self.n_obs_host = int(self._nobs_handle)
+        self._nobs_handle = self.state.n_obs
 
     # ---- fiducial markers -> doors / marker-based rooms
 

@@ -47,6 +47,7 @@ class SceneGraphState(NamedTuple):
     room_is_corridor: jax.Array  # (R,)
     room_valid: jax.Array  # (R,)
     room_marker: jax.Array  # (R,) meta-marker id or -1
+    room_ground: jax.Array  # (R,) associated ground plane id or -1
     # doors (D,)
     door_pose: jax.Array  # (D, 7) world SE3
     door_marker: jax.Array  # (D,) marker id
@@ -89,6 +90,7 @@ def empty_scenegraph(cap: CapacityConfig = CapacityConfig(),
         room_is_corridor=jnp.zeros((R,), bool),
         room_valid=jnp.zeros((R,), bool),
         room_marker=jnp.full((R,), -1, i32),
+        room_ground=jnp.full((R,), -1, i32),
         door_pose=jnp.zeros((D, 7), f32).at[:, 0].set(1.0),
         door_marker=jnp.full((D,), -1, i32),
         door_valid=jnp.zeros((D,), bool),

@@ -47,6 +47,9 @@ _velocity_of = jax.jit(
     )
 )
 _inverse_pose = jax.jit(lie.se3_inverse)
+_compose_rel = jax.jit(
+    lambda rel, base: lie.se3_normalize(lie.se3_multiply(rel, base))
+)
 
 
 class SlamSystem:
@@ -95,6 +98,9 @@ class SlamSystem:
         # pipelined per-frame decision state (fused fast path)
         self._pending = None
         self._stats_buf: list = []
+        # B-frame pipeline state (tracking.pipeline_depth > 1)
+        self._batch_buf: list = []
+        self._pending_batch = None
         self.scenegraph = None  # attached by api layer when semantics are on
         self.loop_closer = None  # place recognition (LoopClosing thread role)
         if config.loop_closing:
@@ -125,6 +131,9 @@ class SlamSystem:
         # cloud (the reference stores it on the KeyFrame, KeyFrame.h:516)
         self._last_depth_img = depth
         if self.state == TrackState.OK and self.imu is None:
+            if self.cfg.tracking.pipeline_depth > 1:
+                # B-frame pipeline: ONE dispatch + ONE readback per B frames
+                return self._track_batched(gray, depth, timestamp)
             # fused fast path: ONE device program + ONE scalar readback,
             # resolved one frame behind
             return self._track_fused(gray, depth, timestamp)
@@ -191,6 +200,115 @@ class SlamSystem:
             self._resolve_pending(prev)
         return self.last_pose
 
+    # -------------------------------------------------- B-frame pipeline
+
+    def _track_batched(self, gray, depth, timestamp: float):
+        """Buffer frames; every ``pipeline_depth`` frames resolve the
+        previous batch's decisions and dispatch the next batch as one
+        ``lax.scan`` program (tracking.make_frame_scan)."""
+        B = self.cfg.tracking.pipeline_depth
+        self._batch_buf.append(
+            (gray, depth, float(timestamp))
+        )
+        if len(self._batch_buf) < B:
+            return self.last_pose
+        buf, self._batch_buf = self._batch_buf, []
+        # resolve the in-flight batch FIRST: its keyframe insertion must
+        # land before the next dispatch sees the map
+        self._resolve_batch()
+        if self.state != TrackState.OK:
+            # lost mid-stream: replay this buffer through the serial path
+            for g, d, ts in buf:
+                self._last_depth_img = d
+                self.track_rgbd(g, d, ts)
+            return self.last_pose
+        t = self.cfg.tracking
+        scan = tracking.make_frame_scan(
+            self.cfg.camera, self.cfg.orb,
+            self.cfg.mapping.local_window, 4096,
+            t.match_radius_coarse, t.match_radius_fine, True, B,
+        )
+        grays = jnp.stack([g for g, _, _ in buf])
+        depths = jnp.stack([d for _, d, _ in buf])
+        tss = jnp.asarray([ts for _, _, ts in buf], jnp.float32)
+        with self.timers.stage("track_dispatch"):
+            frames, results, T_rels, packeds, T_out, vel_out = scan(
+                self.map, grays, depths, tss, self.last_pose, self.velocity,
+                self.ref_kf, self.cam_K,
+                jnp.asarray(t.min_inliers_ok, jnp.int32), self.cam_bf,
+            )
+        self.last_pose = T_out
+        self.velocity = vel_out
+        self._pending_batch = {
+            "frames": frames, "results": results, "T_rels": T_rels,
+            "packeds": packeds, "depths": depths,
+            "tss": [ts for _, _, ts in buf],
+            "epoch": self.epoch, "ref_host": self.ref_kf_host,
+        }
+        return self.last_pose
+
+    def _resolve_batch(self) -> None:
+        pb, self._pending_batch = self._pending_batch, None
+        if pb is None:
+            return
+        t = self.cfg.tracking
+        with self.timers.stage("track_resolve"):
+            pk = np.asarray(pb["packeds"])  # (B, 4) — ONE readback
+        inserted = False
+        B = pk.shape[0]
+        for i in range(B):
+            n_inl = int(pk[i, 1])
+            accepted = n_inl >= t.min_inliers_ok
+            self.trajectory.append((
+                pb["tss"][i], pb["epoch"], pb["ref_host"],
+                pb["T_rels"][i], accepted,
+            ))
+            if accepted:
+                self.state = TrackState.OK
+                self.lost_frames = 0
+                self.peak_inliers = max(self.peak_inliers, n_inl)
+                res_i = jax.tree.map(lambda x: x[i], pb["results"])
+                self._stats_buf.append((res_i.slot_pt, res_i.vis_pt))
+                if (
+                    not inserted
+                    and not self.cfg.localization_only
+                    and self._need_keyframe(n_inl)
+                ):
+                    frame_i = jax.tree.map(lambda x: x[i], pb["frames"])
+                    self._last_depth_img = pb["depths"][i]
+                    with self.timers.stage("kf_insert"):
+                        self._insert_keyframe_fused(frame_i, res_i, n_inl)
+                    inserted = True
+            else:
+                self.state = TrackState.RECENTLY_LOST
+                self.velocity = lie.se3_identity()
+                self.lost_frames += 1
+                relocated = False
+                if self.loop_closer is not None:
+                    frame_i = jax.tree.map(lambda x: x[i], pb["frames"])
+                    relocated = self.loop_closer.relocalize(self, frame_i)
+                    if not relocated and self.atlas.stashed:
+                        relocated = self._relocalize_in_stashed(frame_i)
+                    if relocated:
+                        self.state = TrackState.OK
+                        self.lost_frames = 0
+                if not relocated:
+                    budget = int(
+                        t.recently_lost_budget * self.cfg.camera.fps
+                    )
+                    if self.lost_frames >= budget:
+                        self._new_map()
+                        return
+        if self.state == TrackState.OK:
+            # re-anchor the device pose chain on the (possibly BA/loop
+            # adjusted) pose of the dispatch-time reference keyframe: the
+            # last batch frame's pose is T_rel composed with that row, so
+            # map corrections propagate into tracking continuity
+            self.last_pose = _compose_rel(
+                pb["T_rels"][-1],
+                self.map.kf_pose[jnp.asarray(pb["ref_host"], jnp.int32)],
+            )
+
     def _resolve_pending(self, p) -> None:
         """Apply frame ``p``'s host-side decisions (one readback)."""
         t = self.cfg.tracking
@@ -227,11 +345,25 @@ class SlamSystem:
                 self._new_map()
 
     def flush(self) -> None:
-        """Resolve any in-flight frame decision (call before reading
-        host-visible state such as the trajectory)."""
+        """Resolve any in-flight frame decision and queued loop-detection
+        (call before reading host-visible state such as the trajectory)."""
+        self._resolve_batch()
+        buf, self._batch_buf = self._batch_buf, []
+        for g, d, ts in buf:
+            # undispatched tail of a partial batch: serial fused path
+            self._last_depth_img = d
+            if self.state == TrackState.OK and self.imu is None:
+                self._track_fused(g, d, ts)
+            else:
+                frame = make_frame_obs(g, d, ts, self.cfg.camera,
+                                       self.cfg.orb)
+                self._track(frame, None, ts)
         p, self._pending = self._pending, None
         if p is not None:
             self._resolve_pending(p)
+        if self.loop_closer is not None:
+            if self.loop_closer.flush(self):
+                self.last_pose = self.map.kf_pose[self.ref_kf]
 
     def _abort_pending(self) -> None:
         """Drop an in-flight frame whose map just got swapped out (its
@@ -242,6 +374,18 @@ class SlamSystem:
             self.trajectory.append(
                 (p["ts"], p["epoch"], p["ref_host"], p["T_rel"], False)
             )
+        pb, self._pending_batch = self._pending_batch, None
+        if pb is not None:
+            for i, ts in enumerate(pb["tss"]):
+                self.trajectory.append(
+                    (ts, pb["epoch"], pb["ref_host"], pb["T_rels"][i], False)
+                )
+        for g, d, ts in self._batch_buf:
+            self.trajectory.append(
+                (ts, self.epoch, self.ref_kf_host,
+                 jnp.asarray(lie.se3_identity()), False)
+            )
+        self._batch_buf = []
         self._stats_buf = []
 
     def _stacked_stats(self) -> tuple[jax.Array, jax.Array]:
@@ -287,7 +431,7 @@ class SlamSystem:
                 )
             sg_ba = (
                 self.cfg.scenegraph.plane_kf_factor
-                and int(self.scenegraph.state.n_obs) > 0
+                and self.scenegraph.n_obs_host > 0
             )
             if sg_ba:
                 from visual_sgraphs_tpu.scenegraph.joint_ba import (
@@ -321,7 +465,8 @@ class SlamSystem:
             self.last_pose = self.map.kf_pose[kf]
         if self.loop_closer is not None:
             with self.timers.stage("loop_detect"):
-                closed = self.loop_closer.on_keyframe(self, kf, frame)
+                closed = self.loop_closer.on_keyframe(self, kf, frame,
+                                                      kf_host=kf_host)
             if closed:
                 self.last_pose = self.map.kf_pose[kf]
                 self.events.emit("loop_closed",
@@ -625,7 +770,7 @@ class SlamSystem:
         sg_ba = (
             self.scenegraph is not None
             and self.cfg.scenegraph.plane_kf_factor
-            and int(self.scenegraph.state.n_obs) > 0
+            and self.scenegraph.n_obs_host > 0
         )
         if self.imu is not None:
             # bind the KF-to-KF preintegration, run the IMU-init schedule,
@@ -670,7 +815,8 @@ class SlamSystem:
         # keep tracking's reference pose consistent with the adjusted map
         self.last_pose = self.map.kf_pose[kf]
         if self.loop_closer is not None:
-            if self.loop_closer.on_keyframe(self, kf, frame):
+            if self.loop_closer.on_keyframe(self, kf, frame,
+                                            kf_host=kf_host):
                 # the whole map moved: resume from the corrected pose
                 self.last_pose = self.map.kf_pose[kf]
             # Atlas merge detection against stashed maps

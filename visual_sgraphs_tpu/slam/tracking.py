@@ -405,6 +405,73 @@ def make_frame_step(cam, orb, n_window: int, n_local: int,
     return jax.jit(step)
 
 
+@functools.lru_cache(maxsize=None)
+def make_frame_scan(cam, orb, n_window: int, n_local: int,
+                    fx_radius: float, fine_radius: float, has_depth: bool,
+                    batch: int):
+    """Build the B-frame pipelined tracking program: ``lax.scan`` of the
+    fused per-frame step over a stacked frame batch — ONE dispatch and ONE
+    packed readback per B frames.
+
+    Per-frame results are identical to the serial fused path; host
+    decisions (keyframe policy, lost handling) resolve after the batch, so
+    mapping lags tracking by up to B frames — the reference's
+    tracking/mapping thread decoupling (SURVEY §2.7) expressed as pipeline
+    depth.  The map is constant within a batch (keyframes insert between
+    batches), which is what makes the scan legal.
+    """
+    from visual_sgraphs_tpu.slam.frame import _jit_frame_obs
+
+    frame_fn = _jit_frame_obs(cam, orb, has_depth)
+    wh = (cam.width, cam.height)
+
+    def scan(m: MapState, grays, depths, tss, T_last, velocity,
+             ref_kf, cam_K, min_inliers, cam_bf=None):
+        kf_base = m.kf_pose[ref_kf]
+
+        def step(carry, inp):
+            T_prev, vel = carry
+            gray, depth_img, ts = inp
+            frame = frame_fn(gray, depth_img, ts)
+            T_pred = lie.se3_normalize(lie.se3_multiply(vel, T_prev))
+            res1 = _track_frame_impl(m, frame, T_pred, ref_kf, cam_K,
+                                     n_window, n_local, fx_radius,
+                                     fine_radius, cam_bf, wh)
+            need_retry = res1.n_inliers < min_inliers
+
+            def retry(_):
+                return _track_frame_impl(m, frame, T_prev, ref_kf, cam_K,
+                                         n_window, n_local, fx_radius * 4.0,
+                                         fine_radius * 2.0, cam_bf, wh)
+
+            res = jax.lax.cond(need_retry, retry, lambda _: res1, None)
+            accepted = res.n_inliers >= min_inliers
+            new_pose = lie.se3_normalize(res.pose)
+            pose_sel = jnp.where(accepted, new_pose, T_prev)
+            vel_new = lie.se3_normalize(
+                lie.se3_multiply(new_pose, lie.se3_inverse(T_prev))
+            )
+            vel_sel = jnp.where(accepted, vel_new, lie.se3_identity())
+            T_rel = lie.se3_normalize(
+                lie.se3_multiply(pose_sel, lie.se3_inverse(kf_base))
+            )
+            packed = jnp.stack([
+                res.n_matches.astype(jnp.float32),
+                res.n_inliers.astype(jnp.float32),
+                res.n_local_pts.astype(jnp.float32),
+                need_retry.astype(jnp.float32),
+            ])
+            return (pose_sel, vel_sel), (frame, res, T_rel, packed)
+
+        (T_out, vel_out), outs = jax.lax.scan(
+            step, (T_last, velocity), (grays, depths, tss)
+        )
+        frames, results, T_rels, packeds = outs
+        return frames, results, T_rels, packeds, T_out, vel_out
+
+    return jax.jit(scan)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def update_point_stats(m: MapState, track: TrackResult) -> MapState:
     """Increment visible/found counters used by point culling
