@@ -45,6 +45,7 @@ def main():
 
     from visual_sgraphs_tpu.config import (
         CapacityConfig,
+        MappingConfig,
         OrbConfig,
         PlaceConfig,
         Sensor,
@@ -63,6 +64,9 @@ def main():
         orb=OrbConfig(n_features=1000),
         capacity=CapacityConfig(max_keyframes=128, max_points=32768),
         tracking=TrackingConfig(pipeline_depth=8),
+        # real-time operating point: the reference's LBA is aborted under
+        # load (mbAbortBA); BA every 2nd keyframe at 6 LM iterations
+        mapping=MappingConfig(lba_iters=6, lba_interval=2, cull_interval=2),
         loop_closing=True,
         place=PlaceConfig(vocab_min_keyframes=4, consistency=1, min_gap=8,
                           loop_min_inliers=15, gba_after_loop=False),
@@ -77,7 +81,7 @@ def main():
         (jax.block_until_ready(jnp.asarray(g)),
          jax.block_until_ready(jnp.asarray(d)), s, T, ts)
         for g, d, s, T, ts in scene.frames_with_semantics(
-            n_frames, kind="orbit"
+            n_frames, kind="orbit2"
         )
     ]
 

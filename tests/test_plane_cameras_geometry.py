@@ -157,3 +157,44 @@ def test_sampson_zero_on_epipolar(rng):
     E = geometry.essential_from_pose(T_21)
     err = geometry.sampson_error(E, x1, x2)
     np.testing.assert_allclose(err, 0, atol=1e-12)
+
+
+def test_kb8_frame_pipeline_tracks():
+    """A kb8-model camera config flows through the frame pipeline: fisheye
+    keypoints land on virtual-pinhole pixels consistent with the 3D
+    geometry (KannalaBrandt8.cpp wired end-to-end, not dead code)."""
+    import dataclasses
+
+    import jax
+
+    from visual_sgraphs_tpu.config import CameraConfig, OrbConfig
+    from visual_sgraphs_tpu.core import cameras
+    from visual_sgraphs_tpu.io.synthetic import SyntheticScene, render
+    from visual_sgraphs_tpu.slam.frame import make_frame_obs
+
+    scene = SyntheticScene(h=240, w=320)
+    cam = dataclasses.replace(
+        scene.cam, model="kb8", k1=0.02, k2=-0.005, k3=0.001, k4=0.0
+    )
+    gray, depth, _ = render(
+        jnp.asarray(scene.trajectory(1)[0]), scene.planes, scene.cam_K,
+        240, 320,
+    )
+    frame = make_frame_obs(gray, depth, 0.0, cam, OrbConfig(n_features=256))
+    ok = np.asarray(frame.valid)
+    assert ok.sum() > 100
+    # kb8 unprojection of the undistorted uv must round-trip: project the
+    # virtual-pinhole uv back through kb8 to approximately the raw pixels
+    kb = jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy,
+                      cam.k1, cam.k2, cam.k3, cam.k4], jnp.float32)
+    pin = jnp.asarray(cam.K)
+    rays = cameras.unproject_pinhole(pin, frame.uv)
+    uv_kb8 = cameras.project_kb8(kb, rays)
+    rays2 = cameras.unproject_kb8(kb, uv_kb8)
+    z = jnp.maximum(rays2[:, 2:3], 1e-6)
+    uv_back = jnp.stack(
+        [rays2[:, 0] / z[:, 0] * cam.fx + cam.cx,
+         rays2[:, 1] / z[:, 0] * cam.fy + cam.cy], -1
+    )
+    err = np.asarray(jnp.linalg.norm(uv_back - frame.uv, axis=-1))[ok]
+    assert np.percentile(err, 95) < 0.5, np.percentile(err, 95)

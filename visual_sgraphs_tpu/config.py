@@ -26,7 +26,15 @@ class Sensor:
 
 @dataclasses.dataclass(frozen=True)
 class CameraConfig:
-    """Pinhole intrinsics + optional distortion (config/RGB-D/TUM1.yaml)."""
+    """Camera intrinsics + optional distortion (config/RGB-D/TUM1.yaml).
+
+    ``model``: "pinhole" (rad-tan distortion k1..k3/p1/p2, the reference's
+    Pinhole, CameraModels/Pinhole.cpp) or "kb8" (Kannala-Brandt fisheye
+    with k1..k4 polynomial, CameraModels/KannalaBrandt8.cpp).  For kb8 the
+    frame pipeline unprojects raw keypoints through the fisheye model into
+    virtual-pinhole pixels, so tracking/BA stay on the calibrated pinhole
+    geometry — the TPU-native equivalent of the reference carrying the
+    camera model into every projection."""
 
     fx: float = 517.3
     fy: float = 516.5
@@ -37,6 +45,8 @@ class CameraConfig:
     p1: float = 0.0
     p2: float = 0.0
     k3: float = 0.0
+    k4: float = 0.0  # kb8 only
+    model: str = "pinhole"
     width: int = 640
     height: int = 480
     fps: float = 30.0
@@ -86,6 +96,11 @@ class MappingConfig:
     local_window: int = 10  # covisible KFs in local BA
     lba_iters: int = 10
     lba_rounds: int = 2
+    # run local BA on every n-th keyframe (the reference aborts LBA when
+    # the keyframe queue is non-empty — mbAbortBA, LocalMapping.cc —
+    # so under load its effective LBA rate also drops below 1/KF)
+    lba_interval: int = 1
+    cull_interval: int = 1  # point/KF culling every n-th keyframe
     point_cull_min_found_ratio: float = 0.25
     point_cull_min_obs: int = 2
     kf_cull_redundancy: float = 0.9  # KF redundant if 90% points seen 3+ times
@@ -150,7 +165,14 @@ class PlaceConfig:
     essential_min_weight: int = 30
     essential_max_edges: int = 512
     pgo_iters: int = 20  # reference: Optimizer.cc:2682
+    loop_cooldown: int = 10  # KFs between corrections (merged-covisibility
+    # suppression in the reference makes re-detections no-ops; a cooldown
+    # is the pipeline equivalent)
+    loop_min_correction: float = 0.02  # skip PGO when the verified Sim3 is
+    # already near-identity (drift below this tangent norm)
     gba_after_loop: bool = True
+    loop_local_ba: bool = True  # welding-window BA when GBA is off
+    # (LoopClosureLocalBundleAdjustment, Optimizer.cc:4634)
     gba_iters: int = 10  # reference: LoopClosing.cc:2158
     reloc_min_inliers: int = 30
     seed: int = 0

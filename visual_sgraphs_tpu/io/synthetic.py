@@ -131,11 +131,13 @@ class SyntheticScene:
             )
         elif kind == "forward":
             xi = np.stack([0 * s, 0 * s, 2.5 * s, 0 * s, 0 * s, 0 * s], -1)
-        elif kind == "orbit":
+        elif kind in ("orbit", "orbit2"):
             # closed loop: the camera circles inside the room with yaw
             # following the tangent, returning exactly to the start pose —
-            # the loop-closure test trajectory
-            a = 2.0 * np.pi * s
+            # the loop-closure test trajectory ("orbit2": two laps, so the
+            # revisit happens mid-stream)
+            laps = 2.0 if kind == "orbit2" else 1.0
+            a = laps * 2.0 * np.pi * s
             r = 0.9
             q = np.stack(
                 [np.cos(a / 2), 0 * a, np.sin(a / 2), 0 * a], axis=-1

@@ -133,7 +133,8 @@ def _exclusion_mask(m: MapState, kf: jax.Array, min_gap: int = 10):
 @partial(jax.jit, static_argnames=("min_gap", "top_n"))
 def _detect_program(m: MapState, db: db_mod.PlaceDB,
                     vocab: vocab_mod.VocabTree, kf: jax.Array,
-                    min_gap: int, top_n: int):
+                    min_gap: int, top_n: int,
+                    extra: jax.Array = None):
     """The WHOLE per-keyframe place-recognition query as one program:
     BoW vector, covisibility exclusion, database validity sync, candidate
     retrieval, insertion, and the covisible reference score — returning the
@@ -148,9 +149,12 @@ def _detect_program(m: MapState, db: db_mod.PlaceDB,
     )
     new_db = db_mod.add_keyframe(db, kf, bow)
     ref = db_mod.best_covisible_score(new_db, bow, covis)
+    if extra is None:
+        extra = jnp.zeros((1,), jnp.float32)
     packed = jnp.concatenate([
         ref[None], cand_ids.astype(jnp.float32), cand_scores,
         jnp.sum(db.valid.astype(jnp.float32))[None],
+        extra.astype(jnp.float32).reshape(-1),
     ])
     return new_db, packed
 
@@ -160,6 +164,19 @@ _backfill_bow = jax.jit(
         lambda d, v: vocab_mod.bow_vector(tree, d, v)
     )(desc, valid)
 )
+
+
+@jax.jit
+def _loop_drift(kf_pose, cur, cand, S_est):
+    """Tangent norm of (estimated loop Sim3) ⊖ (current pose-implied Sim3):
+    ~0 when the graph already satisfies the loop constraint."""
+    S_now = lie.sim3_multiply(
+        lie.sim3_from_se3(kf_pose[cand]),
+        lie.sim3_inverse(lie.sim3_from_se3(kf_pose[cur])),
+    )
+    return jnp.linalg.norm(
+        lie.sim3_log(lie.sim3_multiply(S_est, lie.sim3_inverse(S_now)))
+    )
 
 
 def reloc_in_map(m: MapState, db: db_mod.PlaceDB,
@@ -198,6 +215,7 @@ class LoopCloser:
         self._rng = np.random.default_rng(cfg.seed)
         self.n_loops_closed = 0
         self.last_loop: tuple[int, int] | None = None
+        self._kf_since_loop = 10**9  # cooldown counter
         # one-keyframe-deep detection pipeline: (kf_host, packed scalars)
         self._pending_det: tuple[int, jax.Array] | None = None
 
@@ -260,7 +278,8 @@ class LoopCloser:
     # ---------------------------------------------------------------- api
 
     def on_keyframe(self, system, kf, frame: FrameObs,
-                    kf_host: int | None = None) -> bool:
+                    kf_host: int | None = None,
+                    extra: jax.Array = None) -> bool:
         """Queue place-recognition for keyframe ``kf`` and resolve the
         PREVIOUS keyframe's query (one-keyframe-deep pipeline — the
         detection program's scalars are read back only after a full
@@ -277,7 +296,7 @@ class LoopCloser:
         kf = jnp.asarray(kf, jnp.int32)
         self.db, packed = _detect_program(
             system.map, self.db, self.vocab, kf,
-            self.cfg.min_gap, self.cfg.top_n_candidates,
+            self.cfg.min_gap, self.cfg.top_n_candidates, extra=extra,
         )
         self._pending_det = (
             kf_host if kf_host is not None else int(kf), packed
@@ -296,7 +315,19 @@ class LoopCloser:
                            packed: jax.Array) -> bool:
         """Host half of NewDetectCommonRegions + CorrectLoop for the
         keyframe whose query was dispatched last time."""
+        self._kf_since_loop += 1
+        if self._kf_since_loop <= self.cfg.loop_cooldown:
+            # post-correction cooldown (the reference's merged covisibility
+            # suppresses immediate re-detections the same way)
+            packed_np = np.asarray(packed)
+            if packed_np.shape[0] > 2 * self.cfg.top_n_candidates + 2:
+                system._kf_board = float(packed_np[-1])
+            return False
         pk = np.asarray(packed)
+        # piggybacked scalar board (e.g. scene-graph n_obs): hand the tail
+        # entry back to the system so subsystems share ONE readback per KF
+        if pk.shape[0] > 2 * self.cfg.top_n_candidates + 2:
+            system._kf_board = float(pk[-1])
         n_top = self.cfg.top_n_candidates
         ref_score = float(pk[0])
         cand_ids = pk[1:1 + n_top].astype(np.int32)
@@ -343,6 +374,14 @@ class LoopCloser:
         if int(n_inl) < self.cfg.loop_min_inliers or \
                 int(n_guided) < self.cfg.loop_min_inliers:
             return False
+        # skip the correction when the loop constraint is already satisfied
+        # (post-correction revisits verify at near-identity Sim3)
+        drift = _loop_drift(m.kf_pose, kf, jnp.asarray(best), S_cand_cur)
+        if float(drift) < self.cfg.loop_min_correction:
+            self._kf_since_loop = 0  # treat as closed: consistent already
+            self._consistent_count = 0
+            self._consistent_cand = -1
+            return False
 
         # ---- correct: essential graph + point propagation (CorrectLoop)
         edges = pgo.build_covis_edges(
@@ -350,12 +389,25 @@ class LoopCloser:
             max_edges=self.cfg.essential_max_edges,
         )
         fixed = jnp.zeros((m.K,), bool).at[best].set(True)
-        result = pgo.optimize_essential_graph(
-            m.kf_pose, m.kf_valid, edges,
-            loop_i=jnp.asarray(best, jnp.int32), loop_j=kf,
-            S_loop_ji=lie.sim3_inverse(S_cand_cur),
-            fixed=fixed, iters=self.cfg.pgo_iters, fix_scale=fix_scale,
-        )
+        inertial = (getattr(system, "imu", None) is not None
+                    and system.imu.initialized)
+        if inertial:
+            # visual-inertial loop: 4-dof essential graph (gravity fixes
+            # roll/pitch, IMU fixes scale — Optimizer.cc:6412)
+            S_ji = lie.sim3_inverse(S_cand_cur)
+            T_ji = jnp.concatenate([S_ji[:4], S_ji[4:7] / S_ji[7:8]])
+            result = pgo.optimize_essential_graph_4dof(
+                m.kf_pose, m.kf_valid, edges,
+                loop_i=jnp.asarray(best, jnp.int32), loop_j=kf,
+                T_loop_ji=T_ji, fixed=fixed, iters=self.cfg.pgo_iters,
+            )
+        else:
+            result = pgo.optimize_essential_graph(
+                m.kf_pose, m.kf_valid, edges,
+                loop_i=jnp.asarray(best, jnp.int32), loop_j=kf,
+                S_loop_ji=lie.sim3_inverse(S_cand_cur),
+                fixed=fixed, iters=self.cfg.pgo_iters, fix_scale=fix_scale,
+            )
         system.map = pgo.correct_map(m, result)
         # fuse duplicate landmarks in the welded region (SearchAndFuse)
         system.map = mapping.fuse_observations(
@@ -363,8 +415,17 @@ class LoopCloser:
         )
         if self.cfg.gba_after_loop:
             system.run_global_ba(iters=self.cfg.gba_iters)
+        elif self.cfg.loop_local_ba:
+            # welding-window refinement around the closed loop — the
+            # reference's LoopClosureLocalBundleAdjustment (Optimizer.cc:
+            # 4634), cheaper than a full GBA per loop
+            system.map, _ = mapping.local_ba(
+                system.map, kf, system.cam_K, system.cam_bf,
+                n_window=10, iters=6,
+            )
         self.n_loops_closed += 1
         self.last_loop = (kf_host, best)
+        self._kf_since_loop = 0
         self._consistent_count = 0
         self._consistent_cand = -1
         return True

@@ -172,3 +172,68 @@ def correct_map(m: MapState, pgo: PgoResult) -> MapState:
     new_pos = jax.vmap(lie.sim3_apply)(S_corr[ref], m.pt_pos)
     new_pos = jnp.where(m.pt_valid[:, None], new_pos, m.pt_pos)
     return m._replace(kf_pose=pgo.kf_pose, pt_pos=new_pos)
+
+
+def _retract_4dof(v, d):
+    """4-dof retract: world-frame translation + yaw about the gravity-
+    aligned world z axis (VertexPose4DoF, G2oTypes.h:861 — roll/pitch are
+    observable from gravity once IMU-initialized and stay fixed)."""
+    xi_w = jnp.concatenate([d[..., :3], jnp.zeros_like(d[..., :2]),
+                            d[..., 3:4]], axis=-1)
+    T_w = lie.se3_exp(xi_w)
+    return lie.se3_normalize(lie.se3_multiply(v, lie.se3_inverse(T_w)))
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def optimize_essential_graph_4dof(
+    kf_pose: jax.Array,
+    kf_valid: jax.Array,
+    edges: EssentialEdges,
+    loop_i: jax.Array,
+    loop_j: jax.Array,
+    T_loop_ji: jax.Array,
+    fixed: jax.Array,
+    iters: int = 20,
+) -> PgoResult:
+    """4-dof essential-graph solve for visual-inertial loops
+    (Optimizer::OptimizeEssentialGraph4DoF, Optimizer.cc:6412): each
+    keyframe optimizes translation + yaw only; gravity-observable roll and
+    pitch stay fixed.  Scale is rigid (inertial anchors it)."""
+    from visual_sgraphs_tpu.optim.graph import VarFamily
+    import dataclasses as _dc
+
+    K = kf_pose.shape[0]
+    ei, ej = edges.idx[:, 0], edges.idx[:, 1]
+    rel = jax.vmap(
+        lambda i, j: lie.se3_multiply(kf_pose[j], lie.se3_inverse(kf_pose[i]))
+    )(ei, ej)
+    e_valid = edges.valid & kf_valid[ei] & kf_valid[ej]
+
+    var_idx = jnp.concatenate(
+        [edges.idx, jnp.stack([loop_i, loop_j])[None].astype(jnp.int32)]
+    )
+    rel_all = jnp.concatenate([rel, T_loop_ji[None]])
+    valid_all = jnp.concatenate([e_valid, jnp.ones((1,), bool)])
+    info = jnp.concatenate(
+        [jnp.ones(ei.shape[0], jnp.float32),
+         jnp.full((1,), 100.0, jnp.float32)]
+    )
+    batch = FactorBatch(
+        families=("kf", "kf"),
+        residual_fn=factors.relative_se3,
+        res_dim=6,
+        var_idx=var_idx,
+        const={"T_ji": rel_all},
+        info=info,
+        valid=valid_all,
+    )
+    fam = VarFamily(values=kf_pose, fixed=fixed | ~kf_valid,
+                    tangent_dim=4, retract=_retract_4dof)
+    problem = GraphProblem(families={"kf": fam}, factors=[batch])
+    res = optimize(problem, iters=iters)
+    kf_new = jax.vmap(lie.se3_normalize)(res.values["kf"])
+    kf_new = jnp.where(kf_valid[:, None], kf_new, kf_pose)
+    S_old = jax.vmap(lie.sim3_from_se3)(kf_pose)
+    S_new = jax.vmap(lie.sim3_from_se3)(kf_new)
+    return PgoResult(kf_pose=kf_new, S_old=S_old, S_new=S_new,
+                     cost0=res.initial_cost, cost=res.cost)

@@ -528,6 +528,9 @@ class SceneGraphManager:
         # hot path never blocks on a device scalar
         self.n_obs_host = 0
         self._nobs_handle = None
+        # when True the system reads n_obs back through the loop-detect
+        # scalar board instead of a dedicated per-KF sync
+        self.defer_nobs_readback = False
         self._kf_count = 0
         self.maintenance_interval = 4  # KFs between filter/re-associate runs
 
@@ -580,9 +583,12 @@ class SceneGraphManager:
         self.state = detect_rooms(
             self.state, min_votes=self.cfg.plane_min_votes
         )
-        if self._nobs_handle is not None:
-            self.n_obs_host = int(self._nobs_handle)
-        self._nobs_handle = self.state.n_obs
+        if self.defer_nobs_readback:
+            self._nobs_handle = self.state.n_obs
+        else:
+            if self._nobs_handle is not None:
+                self.n_obs_host = int(self._nobs_handle)
+            self._nobs_handle = self.state.n_obs
 
     # ---- fiducial markers -> doors / marker-based rooms
 

@@ -46,14 +46,28 @@ def _jit_frame_obs(cam: CameraConfig, orb: OrbConfig, has_depth: bool):
     per-frame hot path must be a single dispatch, not hundreds of eager ops
     round-tripping the remote compiler."""
     params = _orb_params(orb)
-    undistort = any(
+    is_kb8 = getattr(cam, "model", "pinhole") == "kb8"
+    undistort = is_kb8 or any(
         abs(d) > 0 for d in (cam.k1, cam.k2, cam.p1, cam.p2, cam.k3)
     )
 
     def fn(gray, depth_img, timestamp):
         kp = extract_orb(gray, params)
         uv = kp.uv
-        if undistort:
+        if is_kb8:
+            # Kannala-Brandt fisheye: unproject raw keypoints through the
+            # kb8 model onto virtual-pinhole pixels (KannalaBrandt8.cpp's
+            # unprojection; downstream tracking/BA use the calibrated
+            # pinhole geometry)
+            kb = jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy,
+                              cam.k1, cam.k2, cam.k3, cam.k4], jnp.float32)
+            rays = cameras.unproject_kb8(kb, uv)
+            z = jnp.maximum(rays[:, 2], 1e-6)
+            uv = jnp.stack(
+                [rays[:, 0] / z * cam.fx + cam.cx,
+                 rays[:, 1] / z * cam.fy + cam.cy], -1
+            )
+        elif undistort:
             # undistort keypoints (Frame::UndistortKeyPoints)
             dist = jnp.asarray(cam.dist)
             xy = jnp.stack(

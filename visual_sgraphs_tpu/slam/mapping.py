@@ -134,7 +134,7 @@ def apply_found_stats(m: MapState, slot_pts: jax.Array,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("do_fuse", "do_ba", "n_window", "lba_iters",
+    static_argnames=("do_fuse", "do_ba", "do_cull", "n_window", "lba_iters",
                      "cull_min_obs", "cull_min_found_ratio"),
 )
 def insert_and_maintain(
@@ -149,6 +149,7 @@ def insert_and_maintain(
     stats_vis: jax.Array = None,
     do_fuse: bool = True,
     do_ba: bool = False,
+    do_cull: bool = True,
     n_window: int = 10,
     lba_iters: int = 10,
     cull_min_obs: int = 2,
@@ -164,9 +165,10 @@ def insert_and_maintain(
     m, kf = insert_keyframe(m, frame, pose, slot_pt, cam_K)
     if do_fuse:
         m = fuse_observations(m, kf, cam_K)
-    m = cull_points(m, min_obs=cull_min_obs,
-                    min_found_ratio=cull_min_found_ratio)
-    m = cull_keyframes(m, kf, cull_kf_redundancy)
+    if do_cull:
+        m = cull_points(m, min_obs=cull_min_obs,
+                        min_found_ratio=cull_min_found_ratio)
+        m = cull_keyframes(m, kf, cull_kf_redundancy)
     if do_ba:
         m, _ = local_ba(m, kf, cam_K, cam_bf, n_window=n_window,
                         iters=lba_iters)

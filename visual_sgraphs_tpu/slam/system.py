@@ -213,8 +213,10 @@ class SlamSystem:
         if len(self._batch_buf) < B:
             return self.last_pose
         buf, self._batch_buf = self._batch_buf, []
-        # resolve the in-flight batch FIRST: its keyframe insertion must
-        # land before the next dispatch sees the map
+        # resolve the in-flight batch FIRST: its keyframe insertion and any
+        # loop correction must land before the next dispatch sees the map
+        # (the resolve readback has been overlapping this batch's frame
+        # arrivals since the last dispatch)
         self._resolve_batch()
         if self.state != TrackState.OK:
             # lost mid-stream: replay this buffer through the serial path
@@ -251,11 +253,25 @@ class SlamSystem:
         pb, self._pending_batch = self._pending_batch, None
         if pb is None:
             return
+        self._in_batch_resolve = True
+        try:
+            self._resolve_batch_inner(pb)
+        finally:
+            self._in_batch_resolve = False
+
+    def _resolve_batch_inner(self, pb) -> None:
         t = self.cfg.tracking
         with self.timers.stage("track_resolve"):
             pk = np.asarray(pb["packeds"])  # (B, 4) — ONE readback
         inserted = False
         B = pk.shape[0]
+        # fold the whole batch's match/visibility stats in ONE masked pair
+        # of device ops (per-frame pytree slicing costs ~13 dispatches each)
+        acc_dev = jnp.asarray(pk[:, 1] >= t.min_inliers_ok)
+        self._stats_buf.append((
+            jnp.where(acc_dev[:, None], pb["results"].slot_pt, -1),
+            jnp.where(acc_dev[:, None], pb["results"].vis_pt, -1),
+        ))
         for i in range(B):
             n_inl = int(pk[i, 1])
             accepted = n_inl >= t.min_inliers_ok
@@ -267,14 +283,13 @@ class SlamSystem:
                 self.state = TrackState.OK
                 self.lost_frames = 0
                 self.peak_inliers = max(self.peak_inliers, n_inl)
-                res_i = jax.tree.map(lambda x: x[i], pb["results"])
-                self._stats_buf.append((res_i.slot_pt, res_i.vis_pt))
                 if (
                     not inserted
                     and not self.cfg.localization_only
                     and self._need_keyframe(n_inl)
                 ):
                     frame_i = jax.tree.map(lambda x: x[i], pb["frames"])
+                    res_i = jax.tree.map(lambda x: x[i], pb["results"])
                     self._last_depth_img = pb["depths"][i]
                     with self.timers.stage("kf_insert"):
                         self._insert_keyframe_fused(frame_i, res_i, n_inl)
@@ -303,7 +318,8 @@ class SlamSystem:
             # re-anchor the device pose chain on the (possibly BA/loop
             # adjusted) pose of the dispatch-time reference keyframe: the
             # last batch frame's pose is T_rel composed with that row, so
-            # map corrections propagate into tracking continuity
+            # map corrections propagate into tracking continuity (valid
+            # because the next batch dispatches only after this resolve)
             self.last_pose = _compose_rel(
                 pb["T_rels"][-1],
                 self.map.kf_pose[jnp.asarray(pb["ref_host"], jnp.int32)],
@@ -391,34 +407,53 @@ class SlamSystem:
     def _stacked_stats(self) -> tuple[jax.Array, jax.Array]:
         """((B, F), (B, n_local)) padded batches of per-frame match and
         visibility tables since the last keyframe (device handles; no
-        sync)."""
+        sync).  Entries may be single rows (serial path) or stacked
+        (batch path)."""
         F = self.map.F
         B = 32  # static bucket (kf_max_interval is 30)
-        buf = self._stats_buf[-B:]
-        self._stats_buf = []
-        pad = jnp.full((B - len(buf), F), -1, jnp.int32)
+        buf, self._stats_buf = self._stats_buf, []
         if not buf:
+            pad = jnp.full((B, F), -1, jnp.int32)
             return pad, None
-        slots = jnp.concatenate([jnp.stack([s for s, _ in buf]), pad])
-        n_local = buf[0][1].shape[0]
-        vpad = jnp.full((B - len(buf), n_local), -1, jnp.int32)
-        vis = jnp.concatenate([jnp.stack([v for _, v in buf]), vpad])
+        slots_rows = [jnp.atleast_2d(s) for s, _ in buf]
+        vis_rows = [jnp.atleast_2d(v) for _, v in buf]
+        slots = jnp.concatenate(slots_rows)[-B:]
+        vis = jnp.concatenate(vis_rows)[-B:]
+        nrow = slots.shape[0]
+        if nrow < B:
+            slots = jnp.concatenate(
+                [slots, jnp.full((B - nrow, F), -1, jnp.int32)]
+            )
+            vis = jnp.concatenate(
+                [vis, jnp.full((B - nrow, vis.shape[1]), -1, jnp.int32)]
+            )
         return slots, vis
 
     def _insert_keyframe_fused(self, frame: FrameObs,
                                res: tracking.TrackResult, n_inl: int):
         """Keyframe path with the full maintenance chain + local BA as ONE
-        program (scene-graph variants keep their own BA)."""
+        program (scene-graph variants keep their own BA).
+
+        ``lba_interval``/``cull_interval`` skip the heavy stages on
+        intermediate keyframes — the reference's LBA is likewise aborted
+        whenever the keyframe queue is non-empty (mbAbortBA,
+        LocalMapping.cc), so under real-time load its effective rate drops
+        the same way."""
         sg_on = self.scenegraph is not None
+        mc = self.cfg.mapping
+        self._kf_counter = getattr(self, "_kf_counter", 0) + 1
+        do_lba = (self._kf_counter % mc.lba_interval) == 0
+        do_cull = (self._kf_counter % mc.cull_interval) == 0
         stats_slots, stats_vis = self._stacked_stats()
         self.map, kf = mapping.insert_and_maintain(
             self.map, frame, res.pose, res.slot_pt, self.cam_K,
             stats_slots, self.cfg.mapping.kf_cull_redundancy,
-            cam_bf=self.cam_bf, stats_vis=stats_vis, do_ba=not sg_on,
-            n_window=self.cfg.mapping.local_window,
-            lba_iters=self.cfg.mapping.lba_iters,
-            cull_min_obs=self.cfg.mapping.point_cull_min_obs,
-            cull_min_found_ratio=self.cfg.mapping.point_cull_min_found_ratio,
+            cam_bf=self.cam_bf, stats_vis=stats_vis,
+            do_ba=(not sg_on) and do_lba, do_cull=do_cull,
+            n_window=mc.local_window,
+            lba_iters=mc.lba_iters,
+            cull_min_obs=mc.point_cull_min_obs,
+            cull_min_found_ratio=mc.point_cull_min_found_ratio,
         )
         kf_host = min(self.n_kf_host, self.map.K - 1)
         self.n_kf_host += 1
@@ -433,7 +468,7 @@ class SlamSystem:
                 self.cfg.scenegraph.plane_kf_factor
                 and self.scenegraph.n_obs_host > 0
             )
-            if sg_ba:
+            if sg_ba and do_lba:
                 from visual_sgraphs_tpu.scenegraph.joint_ba import (
                     scenegraph_local_ba,
                 )
@@ -442,31 +477,43 @@ class SlamSystem:
                     self.map, self.scenegraph.state, _ = scenegraph_local_ba(
                         self.map, self.scenegraph.state, kf, self.cam_K,
                         self.cam_bf,
-                        n_window=self.cfg.mapping.local_window,
-                        iters=self.cfg.mapping.lba_iters,
+                        n_window=mc.local_window,
+                        iters=mc.lba_iters,
                         config=self.cfg.scenegraph,
                     )
-            else:
+            elif do_lba:
                 with self.timers.stage("local_ba"):
                     self.map, _ = mapping.local_ba(
                         self.map, kf, self.cam_K, self.cam_bf,
-                        n_window=self.cfg.mapping.local_window,
-                        iters=self.cfg.mapping.lba_iters,
+                        n_window=mc.local_window,
+                        iters=mc.lba_iters,
                     )
         self.ref_kf = kf
         self.ref_kf_host = kf_host
         self.frames_since_kf = 0
         self.last_kf_inliers = max(n_inl, 1)
         self.peak_inliers = self.last_kf_inliers
-        if self._pending is None:
+        if self._pending is None and not getattr(
+            self, "_in_batch_resolve", False
+        ):
             # no newer frame in flight: re-anchor tracking on the
             # BA-adjusted keyframe pose (in pipelined operation the next
             # frame's step already advanced the device pose chain)
             self.last_pose = self.map.kf_pose[kf]
         if self.loop_closer is not None:
+            extra = None
+            if sg_on:
+                # piggyback the scene graph's n_obs on the detect program's
+                # scalar board: ONE readback per keyframe for everything
+                self.scenegraph.defer_nobs_readback = True
+                extra = self.scenegraph.state.n_obs[None]
             with self.timers.stage("loop_detect"):
                 closed = self.loop_closer.on_keyframe(self, kf, frame,
-                                                      kf_host=kf_host)
+                                                      kf_host=kf_host,
+                                                      extra=extra)
+            if sg_on and getattr(self, "_kf_board", None) is not None:
+                self.scenegraph.n_obs_host = int(self._kf_board)
+                self._kf_board = None
             if closed:
                 self.last_pose = self.map.kf_pose[kf]
                 self.events.emit("loop_closed",
