@@ -101,6 +101,8 @@ class MappingConfig:
     # so under load its effective LBA rate also drops below 1/KF)
     lba_interval: int = 1
     cull_interval: int = 1  # point/KF culling every n-th keyframe
+    fast_ba: bool = True  # analytic landmark-grouped LBA (optim/fast_ba.py)
+    # instead of the generic autodiff engine — same window/gauge policy
     point_cull_min_found_ratio: float = 0.25
     point_cull_min_obs: int = 2
     kf_cull_redundancy: float = 0.9  # KF redundant if 90% points seen 3+ times

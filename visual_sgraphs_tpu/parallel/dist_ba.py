@@ -182,25 +182,26 @@ def _local_reduced_system(kf_pose, pt_shard, kf_tab, uvr_tab, val_tab,
     kf_safe = jnp.maximum(kf_tab, 0)  # (n, O)
     slot_ok = val_tab & (kf_tab >= 0)
 
-    # dense reduced system as (K, 6, K, 6)
-    S = jnp.zeros((K, 6, K, 6), dtype)
-    # diagonal H_pp blocks per observation
-    S = S.at[kf_safe, :, kf_safe, :].add(
-        jnp.where(slot_ok[..., None, None], Hpp, 0.0)
-    )
-    # minus the pairwise Schur blocks  Σ_ab C_aᵀ C_b  at (kf_a, kf_b)
-    CC = jnp.einsum("nair,nbis->nabrs", C, C)  # (n, O, O, 6, 6)
-    pair_ok = slot_ok[:, :, None] & slot_ok[:, None, :]
-    ka = jnp.broadcast_to(kf_safe[:, :, None], (n, O, O))
-    kb = jnp.broadcast_to(kf_safe[:, None, :], (n, O, O))
-    S = S.at[ka, :, kb, :].add(
-        jnp.where(pair_ok[..., None, None], -CC, 0.0)
-    )
-    rhs = jnp.zeros((K, 6), dtype)
-    rhs = rhs.at[kf_safe].add(jnp.where(slot_ok[..., None], -gp, 0.0))
-    # + Σ_a C_aᵀ c_n
+    # one-hot observation->keyframe assignment: every contraction below is
+    # a matmul (MXU) — a scatter formulation serializes on TPU and was ~7x
+    # slower at these shapes
+    E = (
+        (kf_safe[..., None] == jnp.arange(K, dtype=jnp.int32))
+        & slot_ok[..., None]
+    ).astype(dtype)  # (n, O, K)
+
+    # diagonal H_pp blocks: S1[k] = Σ_{n, a->k} Hpp[n, a]
+    S1 = jnp.einsum("nak,naij->kij", E, Hpp)  # (K, 6, 6)
+    # pairwise Schur blocks: with Ce[n,k] = Σ_{a->k} C_a (3, 6),
+    # S2[k1,k2] = Σ_n Ce[n,k1]ᵀ Ce[n,k2]
+    Ce = jnp.einsum("nak,nair->nkir", E, C)  # (n, K, 3, 6)
+    S2 = jnp.einsum("nkir,nmis->krms", Ce, Ce)  # (K, 6, K, 6)
+    S = -S2
+    kk = jnp.arange(K)
+    S = S.at[kk, :, kk, :].add(S1)
+    # rhs[k] = Σ_{a->k} (−gp + C_aᵀ c)
     Cc = jnp.einsum("nair,ni->nar", C, c)  # (n, O, 6)
-    rhs = rhs.at[kf_safe].add(jnp.where(slot_ok[..., None], Cc, 0.0))
+    rhs = jnp.einsum("nak,nar->kr", E, Cc - gp)
     return S.reshape(6 * K, 6 * K), rhs.reshape(6 * K), L, c, C, cost
 
 

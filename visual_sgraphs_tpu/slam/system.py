@@ -469,25 +469,50 @@ class SlamSystem:
                 and self.scenegraph.n_obs_host > 0
             )
             if sg_ba and do_lba:
-                from visual_sgraphs_tpu.scenegraph.joint_ba import (
-                    scenegraph_local_ba,
-                )
-
                 with self.timers.stage("sg_ba"):
-                    self.map, self.scenegraph.state, _ = scenegraph_local_ba(
-                        self.map, self.scenegraph.state, kf, self.cam_K,
-                        self.cam_bf,
-                        n_window=mc.local_window,
-                        iters=mc.lba_iters,
-                        config=self.cfg.scenegraph,
-                    )
+                    if mc.fast_ba:
+                        from visual_sgraphs_tpu.optim.fast_ba import (
+                            fast_scenegraph_ba,
+                        )
+
+                        self.map, self.scenegraph.state, _ = \
+                            fast_scenegraph_ba(
+                                self.map, self.scenegraph.state, kf,
+                                self.cam_K, self.cam_bf,
+                                n_window=mc.local_window,
+                                iters=mc.lba_iters,
+                                config=self.cfg.scenegraph,
+                            )
+                    else:
+                        from visual_sgraphs_tpu.scenegraph.joint_ba import (
+                            scenegraph_local_ba,
+                        )
+
+                        self.map, self.scenegraph.state, _ = \
+                            scenegraph_local_ba(
+                                self.map, self.scenegraph.state, kf,
+                                self.cam_K, self.cam_bf,
+                                n_window=mc.local_window,
+                                iters=mc.lba_iters,
+                                config=self.cfg.scenegraph,
+                            )
             elif do_lba:
                 with self.timers.stage("local_ba"):
-                    self.map, _ = mapping.local_ba(
-                        self.map, kf, self.cam_K, self.cam_bf,
-                        n_window=mc.local_window,
-                        iters=mc.lba_iters,
-                    )
+                    if mc.fast_ba:
+                        from visual_sgraphs_tpu.optim.fast_ba import (
+                            fast_local_ba,
+                        )
+
+                        self.map, _ = fast_local_ba(
+                            self.map, kf, self.cam_K, self.cam_bf,
+                            n_window=mc.local_window, iters=mc.lba_iters,
+                        )
+                    else:
+                        self.map, _ = mapping.local_ba(
+                            self.map, kf, self.cam_K, self.cam_bf,
+                            n_window=mc.local_window,
+                            iters=mc.lba_iters,
+                        )
         self.ref_kf = kf
         self.ref_kf_host = kf_host
         self.frames_since_kf = 0
