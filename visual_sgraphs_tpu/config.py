@@ -89,6 +89,10 @@ class TrackingConfig:
     # the per-dispatch tunnel latency; host decisions lag by up to this many
     # frames (the reference's tracking/mapping thread decoupling)
     pipeline_depth: int = 1
+    # inertial pose-prior weight in the per-frame solve once the IMU is
+    # initialized (PoseInertialOptimizationLastFrame's role,
+    # Optimizer.cc:5999); 0 disables
+    imu_prior_weight: float = 10.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -306,10 +306,21 @@ class LoopCloser:
     def flush(self, system) -> bool:
         """Resolve any queued detection now (end of stream / before state
         export)."""
+        return self.resolve_pending(system)
+
+    def resolve_pending(self, system) -> bool:
+        """Resolve the previous keyframe's queued place query (host half
+        of the one-keyframe-deep pipeline)."""
         prev, self._pending_det = self._pending_det, None
         if prev is None:
             return False
         return self._resolve_detection(system, *prev)
+
+    def queue_detection(self, kf_host: int, packed) -> None:
+        """Store a detection program's packed scalars for resolution at
+        the next keyframe (used by the fused keyframe program, which runs
+        the device half itself)."""
+        self._pending_det = (kf_host, packed)
 
     def _resolve_detection(self, system, kf_host: int,
                            packed: jax.Array) -> bool:

@@ -431,88 +431,113 @@ class SlamSystem:
 
     def _insert_keyframe_fused(self, frame: FrameObs,
                                res: tracking.TrackResult, n_inl: int):
-        """Keyframe path with the full maintenance chain + local BA as ONE
-        program (scene-graph variants keep their own BA).
+        """Keyframe path — insertion, maintenance, plane pipeline, joint
+        BA and the place-recognition query — as ONE device program
+        (slam/kf_program.py).
 
         ``lba_interval``/``cull_interval`` skip the heavy stages on
         intermediate keyframes — the reference's LBA is likewise aborted
         whenever the keyframe queue is non-empty (mbAbortBA,
         LocalMapping.cc), so under real-time load its effective rate drops
         the same way."""
+        from visual_sgraphs_tpu.slam.kf_program import make_kf_program
+
         sg_on = self.scenegraph is not None
         mc = self.cfg.mapping
+        pc = self.cfg.place
         self._kf_counter = getattr(self, "_kf_counter", 0) + 1
         do_lba = (self._kf_counter % mc.lba_interval) == 0
         do_cull = (self._kf_counter % mc.cull_interval) == 0
         stats_slots, stats_vis = self._stacked_stats()
-        self.map, kf = mapping.insert_and_maintain(
-            self.map, frame, res.pose, res.slot_pt, self.cam_K,
-            stats_slots, self.cfg.mapping.kf_cull_redundancy,
-            cam_bf=self.cam_bf, stats_vis=stats_vis,
-            do_ba=(not sg_on) and do_lba, do_cull=do_cull,
-            n_window=mc.local_window,
-            lba_iters=mc.lba_iters,
-            cull_min_obs=mc.point_cull_min_obs,
-            cull_min_found_ratio=mc.point_cull_min_found_ratio,
+        if stats_vis is None:
+            stats_vis = jnp.full((stats_slots.shape[0], 1), -1, jnp.int32)
+
+        lc = self.loop_closer
+        loop_on = False
+        if lc is not None:
+            # resolve the PREVIOUS keyframe's place query first — a loop
+            # correction must land before this keyframe's program runs
+            with self.timers.stage("loop_detect"):
+                closed = lc.resolve_pending(self)
+            if closed:
+                self.last_pose = self.map.kf_pose[self.ref_kf]
+                self.events.emit("loop_closed", cand=lc.last_loop)
+            loop_on = lc._ensure_vocab(self.map, self.n_kf_host)
+
+        sem_img = conf_img = None
+        do_maint = False
+        if sg_on:
+            mgr = self.scenegraph
+            mgr._kf_count += 1
+            do_maint = (mgr._kf_count % mgr.maintenance_interval) == 0
+            pending = mgr._pending_sem.pop(
+                round(float(self._last_ts or -1.0), 4), None
+            )
+            if pending is None and mgr._pending_sem:
+                # fall back to the newest provided semantics (timestamps
+                # are matched approximately, common.cc:1190)
+                pending = mgr._pending_sem.pop(
+                    max(mgr._pending_sem.keys()), None
+                )
+            if pending is not None:
+                sem_img, conf_img = pending
+            mgr._key, sub = jax.random.split(mgr._key)
+        else:
+            sub = jax.random.PRNGKey(0)
+
+        program = make_kf_program(
+            self.cfg.scenegraph if sg_on else None,
+            sem_img is not None, conf_img is not None,
+            loop_on, do_lba and mc.fast_ba, do_cull, do_maint,
+            mc.local_window, mc.lba_iters,
+            mc.point_cull_min_obs, mc.point_cull_min_found_ratio,
+            mc.kf_cull_redundancy, pc.min_gap if lc else 10,
+            pc.top_n_candidates if lc else 3,
         )
+        sg_state = self.scenegraph.state if sg_on else None
+        with self.timers.stage("kf_program"):
+            new_map, new_sg, new_db, kf, packed = program(
+                self.map, sg_state,
+                lc.db if (lc and loop_on) else None,
+                lc.vocab if (lc and loop_on) else None,
+                frame, res.pose, res.slot_pt, stats_slots, stats_vis,
+                getattr(self, "_last_depth_img", None)
+                if sg_on else jnp.zeros((1, 1), jnp.float32),
+                jnp.asarray(sem_img) if sem_img is not None
+                else jnp.zeros((1, 1), jnp.int32),
+                jnp.asarray(conf_img) if conf_img is not None
+                else jnp.zeros((1, 1), jnp.float32),
+                sub, self.cam_K, self.cam_bf,
+            )
+        self.map = new_map
+        if sg_on:
+            self.scenegraph.state = new_sg
         kf_host = min(self.n_kf_host, self.map.K - 1)
         self.n_kf_host += 1
         self.events.emit("keyframe", kf=kf_host, n_inliers=n_inl)
-        if sg_on:
-            with self.timers.stage("sg_detect"):
-                self.scenegraph.on_keyframe(
-                    self, kf, frame,
-                    depth_img=getattr(self, "_last_depth_img", None),
+
+        # generic-engine fallback for the BA stage (fast_ba off)
+        if do_lba and not mc.fast_ba:
+            if sg_on and self.scenegraph.n_obs_host > 0:
+                from visual_sgraphs_tpu.scenegraph.joint_ba import (
+                    scenegraph_local_ba,
                 )
-            sg_ba = (
-                self.cfg.scenegraph.plane_kf_factor
-                and self.scenegraph.n_obs_host > 0
-            )
-            if sg_ba and do_lba:
+
                 with self.timers.stage("sg_ba"):
-                    if mc.fast_ba:
-                        from visual_sgraphs_tpu.optim.fast_ba import (
-                            fast_scenegraph_ba,
-                        )
-
-                        self.map, self.scenegraph.state, _ = \
-                            fast_scenegraph_ba(
-                                self.map, self.scenegraph.state, kf,
-                                self.cam_K, self.cam_bf,
-                                n_window=mc.local_window,
-                                iters=mc.lba_iters,
-                                config=self.cfg.scenegraph,
-                            )
-                    else:
-                        from visual_sgraphs_tpu.scenegraph.joint_ba import (
-                            scenegraph_local_ba,
-                        )
-
-                        self.map, self.scenegraph.state, _ = \
-                            scenegraph_local_ba(
-                                self.map, self.scenegraph.state, kf,
-                                self.cam_K, self.cam_bf,
-                                n_window=mc.local_window,
-                                iters=mc.lba_iters,
-                                config=self.cfg.scenegraph,
-                            )
-            elif do_lba:
-                with self.timers.stage("local_ba"):
-                    if mc.fast_ba:
-                        from visual_sgraphs_tpu.optim.fast_ba import (
-                            fast_local_ba,
-                        )
-
-                        self.map, _ = fast_local_ba(
-                            self.map, kf, self.cam_K, self.cam_bf,
+                    self.map, self.scenegraph.state, _ = \
+                        scenegraph_local_ba(
+                            self.map, self.scenegraph.state, kf,
+                            self.cam_K, self.cam_bf,
                             n_window=mc.local_window, iters=mc.lba_iters,
+                            config=self.cfg.scenegraph,
                         )
-                    else:
-                        self.map, _ = mapping.local_ba(
-                            self.map, kf, self.cam_K, self.cam_bf,
-                            n_window=mc.local_window,
-                            iters=mc.lba_iters,
-                        )
+            else:
+                with self.timers.stage("local_ba"):
+                    self.map, _ = mapping.local_ba(
+                        self.map, kf, self.cam_K, self.cam_bf,
+                        n_window=mc.local_window, iters=mc.lba_iters,
+                    )
+
         self.ref_kf = kf
         self.ref_kf_host = kf_host
         self.frames_since_kf = 0
@@ -525,24 +550,12 @@ class SlamSystem:
             # BA-adjusted keyframe pose (in pipelined operation the next
             # frame's step already advanced the device pose chain)
             self.last_pose = self.map.kf_pose[kf]
-        if self.loop_closer is not None:
-            extra = None
-            if sg_on:
-                # piggyback the scene graph's n_obs on the detect program's
-                # scalar board: ONE readback per keyframe for everything
-                self.scenegraph.defer_nobs_readback = True
-                extra = self.scenegraph.state.n_obs[None]
-            with self.timers.stage("loop_detect"):
-                closed = self.loop_closer.on_keyframe(self, kf, frame,
-                                                      kf_host=kf_host,
-                                                      extra=extra)
-            if sg_on and getattr(self, "_kf_board", None) is not None:
-                self.scenegraph.n_obs_host = int(self._kf_board)
-                self._kf_board = None
-            if closed:
-                self.last_pose = self.map.kf_pose[kf]
-                self.events.emit("loop_closed",
-                                 kf=kf_host, cand=self.loop_closer.last_loop)
+        if lc is not None:
+            if loop_on:
+                lc.db = new_db
+                lc.queue_detection(kf_host, packed)
+                if sg_on:
+                    self.scenegraph.defer_nobs_readback = True
             if self.atlas.stashed:
                 self.try_merge_stashed(kf_host, frame)
 
@@ -574,6 +587,11 @@ class SlamSystem:
         # readback per frame — D2H round trips cost ~25 ms on the tunnel
         use_stereo = self.cfg.sensor not in (Sensor.MONOCULAR,
                                              Sensor.IMU_MONOCULAR)
+        # dead-reckoned pose prior once the IMU is initialized
+        # (PoseInertialOptimizationLastFrame, Optimizer.cc:5999)
+        prior_w = (t.imu_prior_weight
+                   if (self.imu is not None and self.imu.initialized)
+                   else 0.0)
         res, map_stats, packed = tracking.track_frame_full(
             self.map, frame, T_pred, self.last_pose, self.ref_kf,
             self.cam_K, jnp.asarray(t.min_inliers_ok, jnp.int32),
@@ -582,6 +600,7 @@ class SlamSystem:
             fine_radius=t.match_radius_fine,
             cam_bf=self.cam_bf if use_stereo else None,
             img_wh=(self.cfg.camera.width, self.cfg.camera.height),
+            prior_weight=prior_w,
         )
         n_inl = int(np.asarray(packed)[1])
 

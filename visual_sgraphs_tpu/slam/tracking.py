@@ -74,7 +74,9 @@ def pose_only_gn(T_init, xw, uv, valid, cam_K, iters: int = 10,
                  chi2_gate: float = CHI2_MONO, huber: float = 2.447,
                  gate0: float | None = None,
                  depth: jax.Array | None = None,
-                 bf: jax.Array | None = None):
+                 bf: jax.Array | None = None,
+                 T_prior: jax.Array | None = None,
+                 prior_weight: float = 0.0):
     """Dedicated motion-only Gauss-Newton (the PoseOptimization hot loop,
     Optimizer.cc:1063) with analytic Jacobians and MXU-shaped normal
     equations — one residual evaluation per iteration.
@@ -95,6 +97,12 @@ def pose_only_gn(T_init, xw, uv, valid, cam_K, iters: int = 10,
     ``depth``/``bf``: when given, points with depth > 0 get a third stereo
     residual row u_r = u - bf/z against the observed u_r (the reference's
     RGB-D PoseOptimization path, Optimizer.cc:1127+), anchoring scale.
+
+    ``T_prior``/``prior_weight``: optional pose prior r = log(T·T_prior⁻¹)
+    with isotropic weight — the tracking-time inertial factor
+    (PoseInertialOptimizationLastFrame, Optimizer.cc:5999, reduced to the
+    dead-reckoned pose prior; the full preintegration residual lives in
+    the VI local BA).
 
     Returns (T (7,), inliers (M,) bool).
     """
@@ -164,6 +172,11 @@ def pose_only_gn(T_init, xw, uv, valid, cam_K, iters: int = 10,
         H = jax.lax.dot_general(Jw2, J2, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         g = jnp.einsum("mri,mr->i", Jw, r)
+        if T_prior is not None and prior_weight > 0.0:
+            # prior residual log(T·T_prior⁻¹): J ≈ I near convergence
+            r_p = lie.se3_log(lie.se3_multiply(T, lie.se3_inverse(T_prior)))
+            H = H + jnp.eye(6, dtype=H.dtype) * prior_weight
+            g = g + prior_weight * r_p
         H = H + jnp.eye(6, dtype=H.dtype) * 1e-3
         dx = jnp.linalg.solve(H, -g)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
@@ -232,9 +245,18 @@ def _track_frame_impl(
     fine_radius: float = 7.0,
     cam_bf: jax.Array = None,
     img_wh: tuple | None = None,
+    local_table=None,
+    prior_weight: float = 0.0,
 ) -> TrackResult:
-    """Track one frame against the local map from predicted pose ``T_pred``."""
-    ids, safe, lvalid = _local_point_table(m, ref_kf, n_window, n_local)
+    """Track one frame against the local map from predicted pose ``T_pred``.
+
+    ``local_table``: optional precomputed (ids, safe, lvalid) — the batch
+    scan hoists the table out of the per-frame loop (same ref_kf and map
+    for the whole batch)."""
+    if local_table is None:
+        ids, safe, lvalid = _local_point_table(m, ref_kf, n_window, n_local)
+    else:
+        ids, safe, lvalid = local_table
     xw = m.pt_pos[safe]
     desc = m.pt_desc[safe]
 
@@ -263,6 +285,8 @@ def _track_frame_impl(
         gate0=(2.0 * fx_radius) ** 2,
         depth=frame.depth[slot] if cam_bf is not None else None,
         bf=cam_bf,
+        T_prior=T_pred if prior_weight > 0 else None,
+        prior_weight=prior_weight,
     )
 
     # ---- pass 2: tighter re-match at refined pose + solve (TrackLocalMap)
@@ -279,6 +303,8 @@ def _track_frame_impl(
         T1, xw, frame.uv[slot2], ok2, cam_K, iters=12,
         depth=frame.depth[slot2] if cam_bf is not None else None,
         bf=cam_bf,
+        T_prior=T_pred if prior_weight > 0 else None,
+        prior_weight=prior_weight,
     )
 
     # per-frame-slot matched point ids (for keyframe insertion), inliers only
@@ -302,7 +328,7 @@ def _track_frame_impl(
 
 @functools.partial(
     jax.jit, static_argnames=("n_window", "n_local", "fx_radius",
-                              "fine_radius", "img_wh"),
+                              "fine_radius", "img_wh", "prior_weight"),
 )
 def track_frame_full(
     m: MapState,
@@ -318,6 +344,7 @@ def track_frame_full(
     fine_radius: float = 7.0,
     cam_bf: jax.Array = None,
     img_wh: tuple | None = None,
+    prior_weight: float = 0.0,
 ):
     """The whole per-frame tracking decision tree as ONE program: coarse
     track at the predicted pose, and — only when inliers fall short — the
@@ -330,10 +357,12 @@ def track_frame_full(
     over the remote-TPU tunnel, so the hot loop does exactly one).
     """
     res1 = _track_frame_impl(m, frame, T_pred, ref_kf, cam_K, n_window,
-                             n_local, fx_radius, fine_radius, cam_bf, img_wh)
+                             n_local, fx_radius, fine_radius, cam_bf, img_wh,
+                             prior_weight=prior_weight)
     need_retry = res1.n_inliers < min_inliers
 
     def retry(_):
+        # the retry abandons the (possibly bad) prediction, so no prior
         return _track_frame_impl(m, frame, T_last, ref_kf, cam_K, n_window,
                                  n_local, fx_radius * 4.0, fine_radius * 2.0,
                                  cam_bf, img_wh)
@@ -428,6 +457,8 @@ def make_frame_scan(cam, orb, n_window: int, n_local: int,
     def scan(m: MapState, grays, depths, tss, T_last, velocity,
              ref_kf, cam_K, min_inliers, cam_bf=None):
         kf_base = m.kf_pose[ref_kf]
+        # hoisted once per batch: ref_kf and the map are constant inside
+        table = _local_point_table(m, ref_kf, n_window, n_local)
 
         def step(carry, inp):
             T_prev, vel = carry
@@ -436,13 +467,15 @@ def make_frame_scan(cam, orb, n_window: int, n_local: int,
             T_pred = lie.se3_normalize(lie.se3_multiply(vel, T_prev))
             res1 = _track_frame_impl(m, frame, T_pred, ref_kf, cam_K,
                                      n_window, n_local, fx_radius,
-                                     fine_radius, cam_bf, wh)
+                                     fine_radius, cam_bf, wh,
+                                     local_table=table)
             need_retry = res1.n_inliers < min_inliers
 
             def retry(_):
                 return _track_frame_impl(m, frame, T_prev, ref_kf, cam_K,
                                          n_window, n_local, fx_radius * 4.0,
-                                         fine_radius * 2.0, cam_bf, wh)
+                                         fine_radius * 2.0, cam_bf, wh,
+                                         local_table=table)
 
             res = jax.lax.cond(need_retry, retry, lambda _: res1, None)
             accepted = res.n_inliers >= min_inliers
