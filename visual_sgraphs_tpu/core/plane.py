@@ -109,6 +109,22 @@ def transform(T_se3, coeffs):
     return normalize(jnp.concatenate([n_new, c_new[..., None]], axis=-1))
 
 
+def transform_sim3(S, coeffs):
+    """Transform plane coefficients by a Sim3 ``[q, t, s]`` (points map
+    x' = s·R·x + t): ``n' = R n``, ``c' = s·c - t·n'`` — the similarity
+    generalization of plane3d.h:108-115, needed when loop-closure Sim3
+    corrections move scene-graph planes (LoopClosing.cc:1010-1035 moves
+    points; the reference re-fits planes afterwards, here the equation is
+    carried through the same correction in closed form)."""
+    from visual_sgraphs_tpu.core import lie
+
+    n_new = lie.quat_rotate(S[..., :4], coeffs[..., :3])
+    c_new = S[..., 7] * coeffs[..., 3] - jnp.sum(
+        S[..., 4:7] * n_new, axis=-1
+    )
+    return normalize(jnp.concatenate([n_new, c_new[..., None]], axis=-1))
+
+
 def point_plane_distance(coeffs, p):
     """Signed distance of point(s) p from plane (|n|=1 assumed)."""
     return jnp.sum(coeffs[..., :3] * p, axis=-1) + coeffs[..., 3]

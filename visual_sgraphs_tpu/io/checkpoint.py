@@ -69,13 +69,19 @@ def _get_db(data, manifest: dict, tag: str):
         valid=jnp.asarray(data[f"{tag}.valid"]),
     )
     vocab = None
-    if f"{tag}.idf" in data:
+    vtag, levels_key = tag, f"{tag}_vocab_levels"
+    if f"{vtag}.idf" not in data and tag == "db" and "vocab.idf" in data:
+        # version-1 archives stored the active vocab under 'vocab.*' with
+        # manifest['vocab_levels']; without this fallback the restored BoW
+        # rows would be scored against a freshly retrained (different) vocab
+        vtag, levels_key = "vocab", "vocab_levels"
+    if f"{vtag}.idf" in data:
         vocab = VocabTree(
             centers=tuple(
-                jnp.asarray(data[f"{tag}.level_{i}"])
-                for i in range(manifest[f"{tag}_vocab_levels"])
+                jnp.asarray(data[f"{vtag}.level_{i}"])
+                for i in range(manifest[levels_key])
             ),
-            idf=jnp.asarray(data[f"{tag}.idf"]),
+            idf=jnp.asarray(data[f"{vtag}.idf"]),
         )
     return db, vocab
 
@@ -102,12 +108,18 @@ def save_checkpoint(path: str, system, scenegraph=None, loop_db=None):
     if stashed is not None:
         manifest["atlas_n_maps_created"] = system.atlas.n_maps_created
         manifest["atlas_stashed"] = []
-        for j, (epoch, m, db, vocab) in enumerate(system.atlas.stashed):
+        for j, (epoch, m, db, vocab, sg_state) in enumerate(
+            system.atlas.stashed
+        ):
             entry = {"epoch": epoch,
                      "map_leaves": _put_tree(arrays, f"stash{j}.map", m)}
             if db is not None:
                 _put_db(arrays, manifest, f"stash{j}.db", db, vocab)
                 entry["has_db"] = True
+            if sg_state is not None:
+                entry["sg_leaves"] = _put_tree(
+                    arrays, f"stash{j}.sg", sg_state
+                )
             manifest["atlas_stashed"].append(entry)
 
     # ---- IMU pipeline state
@@ -197,13 +209,22 @@ def load_checkpoint(path: str, system, scenegraph=None, loop_closer=None):
         system.atlas.n_maps_created = manifest.get(
             "atlas_n_maps_created", 1
         )
+        from visual_sgraphs_tpu.slam.atlas import StashedMap
+
         for j, entry in enumerate(manifest["atlas_stashed"]):
             m = _get_tree(data, entry["map_leaves"], f"stash{j}.map",
                           system.map)
             db = vocab = None
             if entry.get("has_db"):
                 db, vocab = _get_db(data, manifest, f"stash{j}.db")
-            system.atlas.stashed.append((entry["epoch"], m, db, vocab))
+            sg_state = None
+            if "sg_leaves" in entry and sg is not None:
+                sg_state = _get_tree(
+                    data, entry["sg_leaves"], f"stash{j}.sg", sg.state
+                )
+            system.atlas.stashed.append(
+                StashedMap(entry["epoch"], m, db, vocab, sg_state)
+            )
 
     if "imu_state_leaves" in manifest and getattr(system, "imu", None) \
             is not None:

@@ -202,6 +202,17 @@ def reloc_in_map(m: MapState, db: db_mod.PlaceDB,
     return None
 
 
+def _consume_board(system, value: float) -> None:
+    """Deliver the piggybacked scalar board: the detection program packs the
+    scene graph's ``n_obs`` into its readback so the keyframe path never
+    pays a dedicated device sync for it (the board is the TPU stand-in for
+    the reference threads reading shared counters under a mutex)."""
+    system._kf_board = value
+    sgm = getattr(system, "scenegraph", None)
+    if sgm is not None and sgm.defer_nobs_readback:
+        sgm.n_obs_host = int(value)
+
+
 class LoopCloser:
     """Host stage: place recognition, loop correction, relocalization."""
 
@@ -332,13 +343,13 @@ class LoopCloser:
             # suppresses immediate re-detections the same way)
             packed_np = np.asarray(packed)
             if packed_np.shape[0] > 2 * self.cfg.top_n_candidates + 2:
-                system._kf_board = float(packed_np[-1])
+                _consume_board(system, float(packed_np[-1]))
             return False
         pk = np.asarray(packed)
         # piggybacked scalar board (e.g. scene-graph n_obs): hand the tail
         # entry back to the system so subsystems share ONE readback per KF
         if pk.shape[0] > 2 * self.cfg.top_n_candidates + 2:
-            system._kf_board = float(pk[-1])
+            _consume_board(system, float(pk[-1]))
         n_top = self.cfg.top_n_candidates
         ref_score = float(pk[0])
         cand_ids = pk[1:1 + n_top].astype(np.int32)
@@ -420,6 +431,12 @@ class LoopCloser:
                 fixed=fixed, iters=self.cfg.pgo_iters, fix_scale=fix_scale,
             )
         system.map = pgo.correct_map(m, result)
+        sgm = getattr(system, "scenegraph", None)
+        if sgm is not None:
+            # move plane equations/centroids, room centers, door and marker
+            # poses through the same per-reference-KF Sim3 correction
+            # (LoopClosing.cc:1010-1035 + Optimizer.cc:621-638 staging)
+            sgm.state = pgo.correct_scenegraph(sgm.state, result, system.map)
         # fuse duplicate landmarks in the welded region (SearchAndFuse)
         system.map = mapping.fuse_observations(
             system.map, kf, system.cam_K

@@ -174,6 +174,81 @@ def correct_map(m: MapState, pgo: PgoResult) -> MapState:
     return m._replace(kf_pose=pgo.kf_pose, pt_pos=new_pos)
 
 
+@jax.jit
+def correct_scenegraph(sg, pgo: PgoResult, m: MapState):
+    """Carry the loop-closure Sim3 correction into the scene graph.
+
+    The reference corrects map points through each one's reference
+    keyframe's Sim3 (LoopClosing.cc:1010-1035) and stages plane corrections
+    through the GBA writeback (Optimizer.cc:621-638); without the
+    equivalent, plane equations, centroids, room centers and door/marker
+    poses stay in the pre-correction world after the map rotates.
+
+    Reference-keyframe policy: each plane uses the earliest keyframe that
+    observed it (its creating keyframe, like MapPoint::mpRefKF); rooms use
+    their first wall's reference; doors/markers use the spatially nearest
+    keyframe (their observing keyframe is not tracked in the table).
+    """
+    from visual_sgraphs_tpu.core import plane as plane_mod
+
+    K = m.K
+    S_corr = jax.vmap(
+        lambda a, b: lie.sim3_multiply(lie.sim3_inverse(a), b)
+    )(pgo.S_new, pgo.S_old)  # (K, 8) world-space correction per KF
+
+    # --- per-plane reference keyframe: min observing KF from the obs table
+    P = sg.pl_coeffs.shape[0]
+    ob_pl = jnp.where(sg.ob_valid & (sg.ob_plane >= 0), sg.ob_plane, P)
+    pl_ref = jnp.full((P + 1,), K, jnp.int32).at[ob_pl].min(
+        jnp.clip(sg.ob_kf, 0, K - 1)
+    )[:P]
+    pl_has_ref = pl_ref < K
+    pl_ref = jnp.clip(pl_ref, 0, K - 1)
+    S_pl = S_corr[pl_ref]
+    new_coeffs = jax.vmap(plane_mod.transform_sim3)(S_pl, sg.pl_coeffs)
+    new_centroid = jax.vmap(lie.sim3_apply)(S_pl, sg.pl_centroid)
+    upd_pl = sg.pl_valid & pl_has_ref
+    new_coeffs = jnp.where(upd_pl[:, None], new_coeffs, sg.pl_coeffs)
+    new_centroid = jnp.where(upd_pl[:, None], new_centroid, sg.pl_centroid)
+
+    # --- rooms follow their first wall's reference keyframe
+    w0 = jnp.clip(sg.room_walls[:, 0], 0, P - 1)
+    room_ref = pl_ref[w0]
+    room_ok = sg.room_valid & (sg.room_walls[:, 0] >= 0) & pl_has_ref[w0]
+    new_rc = jax.vmap(lie.sim3_apply)(S_corr[room_ref], sg.room_center)
+    new_rc = jnp.where(room_ok[:, None], new_rc, sg.room_center)
+
+    # --- doors / markers: nearest keyframe by camera-centre distance
+    cam_c = jax.vmap(lambda T: lie.se3_inverse(T)[4:7])(m.kf_pose)  # (K,3)
+
+    def nearest_kf(p):
+        d2 = jnp.sum((cam_c - p[None, :]) ** 2, axis=-1)
+        return jnp.argmin(jnp.where(m.kf_valid, d2, jnp.inf)).astype(
+            jnp.int32
+        )
+
+    def corr_pose(T_we, S):
+        # T_we' carries the corrected rotation and similarity-mapped centre
+        R_new = lie.quat_multiply(S[:4], T_we[:4])
+        t_new = lie.sim3_apply(S, T_we[4:7])
+        return lie.se3_normalize(jnp.concatenate([R_new, t_new]))
+
+    door_ref = jax.vmap(nearest_kf)(sg.door_pose[:, 4:7])
+    new_door = jax.vmap(corr_pose)(sg.door_pose, S_corr[door_ref])
+    new_door = jnp.where(sg.door_valid[:, None], new_door, sg.door_pose)
+    mk_ref = jax.vmap(nearest_kf)(sg.marker_pose[:, 4:7])
+    new_mk = jax.vmap(corr_pose)(sg.marker_pose, S_corr[mk_ref])
+    new_mk = jnp.where(sg.marker_valid[:, None], new_mk, sg.marker_pose)
+
+    return sg._replace(
+        pl_coeffs=new_coeffs,
+        pl_centroid=new_centroid,
+        room_center=new_rc,
+        door_pose=new_door,
+        marker_pose=new_mk,
+    )
+
+
 def _retract_4dof(v, d):
     """4-dof retract: world-frame translation + yaw about the gravity-
     aligned world z axis (VertexPose4DoF, G2oTypes.h:861 — roll/pitch are

@@ -538,18 +538,36 @@ class SceneGraphManager:
         """Register a per-pixel class image (and optional per-pixel
         confidence in [0, 1]) for the frame at ``timestamp`` — the
         segmenter_ros result channel (System::addSegmentedImage; probability
-        + uncertainty images, SemanticSegmentation.cc:93-175)."""
-        self._pending_sem[round(float(timestamp), 4)] = (sem_img, conf_img)
+        + uncertainty images, SemanticSegmentation.cc:93-175).  Timestamps
+        are kept as host float64: TUM-epoch stamps (~1.3e9 s) need full
+        precision."""
+        self._pending_sem[float(timestamp)] = (sem_img, conf_img)
+
+    def pop_semantics(self, ts: float | None, max_dt: float = 0.05):
+        """Pop the semantics registered nearest to ``ts`` (<``max_dt`` s —
+        the reference's nearest-in-time marker/semantics attachment window,
+        common.cc:1190).  Entries older than ts−1 s are garbage-collected
+        (SemanticSegmentation.cc:54-68's stale-buffer GC)."""
+        if ts is None or not self._pending_sem:
+            return None
+        ts = float(ts)
+        best = min(self._pending_sem.keys(), key=lambda k: abs(k - ts))
+        out = None
+        if abs(best - ts) <= max_dt:
+            out = self._pending_sem.pop(best)
+        for k in [k for k in self._pending_sem if k < ts - 1.0]:
+            del self._pending_sem[k]
+        return out
 
     def on_keyframe(self, system, kf_id, frame, depth_img=None,
-                    sem_img=None, conf_img=None):
+                    sem_img=None, conf_img=None, ts=None):
         if depth_img is None:
             depth_img = getattr(frame, "_depth_img", None)
         if depth_img is None:
             return
         if sem_img is None:
-            pending = self._pending_sem.pop(
-                round(float(frame.timestamp), 4), None
+            pending = self.pop_semantics(
+                ts if ts is not None else getattr(system, "_last_ts", None)
             )
             if pending is not None:
                 sem_img, conf_img = pending

@@ -61,13 +61,15 @@ def merge_maps(
     src = transform_map(src, T_dst_src)
     K, N = dst.K, dst.N
 
-    # --- allocate KF slots
+    # --- allocate KF slots (dropped rows get slot==K and fall off through
+    # the scatters' mode="drop": routing them to slot 0 would race the real
+    # slot-0 write — XLA scatter order with duplicate indices is undefined)
     kf_take = src.kf_valid
     kf_order = jnp.cumsum(kf_take.astype(jnp.int32)) - 1
     kf_new = jnp.where(kf_take, dst.n_kf + kf_order, -1)
     kf_new = jnp.where(kf_new < K, kf_new, -1)
     kf_ok = kf_new >= 0
-    kf_slot = jnp.maximum(kf_new, 0)
+    kf_slot = jnp.where(kf_ok, kf_new, K)
 
     # --- allocate point slots
     pt_take = src.pt_valid
@@ -75,7 +77,7 @@ def merge_maps(
     pt_new = jnp.where(pt_take, dst.n_pt + pt_order, -1)
     pt_new = jnp.where(pt_new < N, pt_new, -1)
     pt_ok = pt_new >= 0
-    pt_slot = jnp.maximum(pt_new, 0)
+    pt_slot = jnp.where(pt_ok, pt_new, N)
 
     # observation remap: src point id -> dst point id (or -1)
     remap = jnp.full((src.N + 1,), -1, jnp.int32).at[1:].set(
@@ -84,16 +86,12 @@ def merge_maps(
     obs_remap = remap[jnp.maximum(src.kf_obs_pt, -1) + 1]  # (K, F)
 
     def scatter_rows(table_dst, table_src, ok, slots):
-        upd = ok.reshape(ok.shape + (1,) * (table_src.ndim - 1))
-        return table_dst.at[slots].set(
-            jnp.where(upd, table_src, table_dst[slots])
-        )
+        del ok  # dropped rows carry an out-of-bounds slot
+        return table_dst.at[slots].set(table_src, mode="drop")
 
     new = dst._replace(
         kf_pose=scatter_rows(dst.kf_pose, src.kf_pose, kf_ok, kf_slot),
-        kf_valid=dst.kf_valid.at[kf_slot].set(
-            kf_ok | dst.kf_valid[kf_slot]
-        ),
+        kf_valid=dst.kf_valid.at[kf_slot].set(True, mode="drop"),
         kf_timestamp=scatter_rows(dst.kf_timestamp, src.kf_timestamp,
                                   kf_ok, kf_slot),
         kf_uv=scatter_rows(dst.kf_uv, src.kf_uv, kf_ok, kf_slot),
@@ -105,19 +103,14 @@ def merge_maps(
                                  kf_ok, kf_slot),
         kf_obs_pt=scatter_rows(dst.kf_obs_pt, obs_remap, kf_ok, kf_slot),
         pt_pos=scatter_rows(dst.pt_pos, src.pt_pos, pt_ok, pt_slot),
-        pt_valid=dst.pt_valid.at[pt_slot].set(
-            pt_ok | dst.pt_valid[pt_slot]
-        ),
+        pt_valid=dst.pt_valid.at[pt_slot].set(True, mode="drop"),
         pt_desc=scatter_rows(dst.pt_desc, src.pt_desc, pt_ok, pt_slot),
         pt_first_kf=dst.pt_first_kf.at[pt_slot].set(
             jnp.where(
-                pt_ok,
-                jnp.where(
-                    src.pt_first_kf >= 0,
-                    remap_kf(kf_new, src.pt_first_kf), -1
-                ),
-                dst.pt_first_kf[pt_slot],
-            )
+                src.pt_first_kf >= 0,
+                remap_kf(kf_new, src.pt_first_kf), -1
+            ),
+            mode="drop",
         ),
         pt_visible=scatter_rows(dst.pt_visible, src.pt_visible,
                                 pt_ok, pt_slot),
@@ -144,18 +137,158 @@ def remap_kf(kf_new: jax.Array, idx: jax.Array) -> jax.Array:
     return table[jnp.clip(idx, -1, kf_new.shape[0] - 1) + 1]
 
 
+class SgMergeStats(NamedTuple):
+    n_planes_moved: jax.Array
+    n_obs_moved: jax.Array
+    n_rooms_moved: jax.Array
+
+
+@jax.jit
+def merge_scenegraphs(dst, src, T_dst_src: jax.Array, kf_new: jax.Array):
+    """Migrate every scene-graph entity of ``src`` into ``dst``, re-expressed
+    through the welding SE3 — the entity-migration half of
+    ``LoopClosing::MergeLocal`` (LoopClosing.cc:1552-1683, which moves
+    Planes/Markers/Rooms/Doors between maps and re-associates them).
+
+    ``kf_new``: (K,) dst keyframe slot for each src keyframe (or -1 for
+    dropped ones) — plane observations remap through it so plane-KF factors
+    keep pointing at real keyframes after the merge.  Overflowing entities
+    are dropped and counted in the stats (the fixed-capacity analogue of the
+    reference's heap growth).
+    """
+    from visual_sgraphs_tpu.core import plane as plane_mod
+
+    # --- re-express src in dst world coordinates
+    pl_coeffs = jax.vmap(
+        lambda c: plane_mod.transform(T_dst_src, c)
+    )(src.pl_coeffs)
+    pl_centroid = jax.vmap(
+        lambda p: lie.se3_apply(T_dst_src, p)
+    )(src.pl_centroid)
+    room_center = jax.vmap(
+        lambda p: lie.se3_apply(T_dst_src, p)
+    )(src.room_center)
+    door_pose = jax.vmap(
+        lambda T: lie.se3_normalize(lie.se3_multiply(T_dst_src, T))
+    )(src.door_pose)
+    marker_pose = jax.vmap(
+        lambda T: lie.se3_normalize(lie.se3_multiply(T_dst_src, T))
+    )(src.marker_pose)
+
+    def alloc(take, n_dst, cap):
+        order = jnp.cumsum(take.astype(jnp.int32)) - 1
+        new = jnp.where(take, n_dst + order, -1)
+        new = jnp.where(new < cap, new, -1)
+        # dropped rows scatter out of bounds (mode="drop" discards them) —
+        # routing them to slot 0 instead would race the real slot-0 write
+        # (XLA scatter order with duplicate indices is undefined)
+        return new, new >= 0, jnp.where(new >= 0, new, cap)
+
+    P, R, D, M = dst.pl_coeffs.shape[0], dst.room_valid.shape[0], \
+        dst.door_valid.shape[0], dst.marker_valid.shape[0]
+    Q = dst.ob_kf.shape[0]
+    pl_new, pl_ok, pl_slot = alloc(src.pl_valid, dst.n_planes, P)
+    rm_new, rm_ok, rm_slot = alloc(src.room_valid, dst.n_rooms, R)
+    dr_new, dr_ok, dr_slot = alloc(src.door_valid, dst.n_doors, D)
+    mk_new, mk_ok, mk_slot = alloc(src.marker_valid, dst.n_markers, M)
+
+    # plane-id remap for observations and room wall/ground references
+    pl_remap = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), jnp.where(pl_ok, pl_new, -1)]
+    )
+
+    def remap_pl(idx):
+        return pl_remap[jnp.clip(idx, -1, src.pl_valid.shape[0] - 1) + 1]
+
+    # observations: remap kf + plane ids; local-frame coeffs/quadrics are
+    # keyframe-relative and move WITH their keyframe, so they stay unchanged
+    ob_kf_new = remap_kf(kf_new, src.ob_kf)
+    ob_pl_new = remap_pl(src.ob_plane)
+    ob_take = src.ob_valid & (ob_kf_new >= 0) & (ob_pl_new >= 0)
+    ob_new, ob_ok, ob_slot = alloc(ob_take, dst.n_obs, Q)
+
+    def scatter(table_dst, table_src, ok, slots):
+        del ok  # not-ok rows carry slot==cap and fall off via mode="drop"
+        return table_dst.at[slots].set(table_src, mode="drop")
+
+    new = dst._replace(
+        pl_coeffs=scatter(dst.pl_coeffs, pl_coeffs, pl_ok, pl_slot),
+        pl_valid=dst.pl_valid.at[pl_slot].set(True, mode="drop"),
+        pl_centroid=scatter(dst.pl_centroid, pl_centroid, pl_ok, pl_slot),
+        pl_npts=scatter(dst.pl_npts, src.pl_npts, pl_ok, pl_slot),
+        pl_votes=scatter(dst.pl_votes, src.pl_votes, pl_ok, pl_slot),
+        pl_nobs=scatter(dst.pl_nobs, src.pl_nobs, pl_ok, pl_slot),
+        ob_kf=scatter(dst.ob_kf, ob_kf_new, ob_ok, ob_slot),
+        ob_plane=scatter(dst.ob_plane, ob_pl_new, ob_ok, ob_slot),
+        ob_coeffs=scatter(dst.ob_coeffs, src.ob_coeffs, ob_ok, ob_slot),
+        ob_conf=scatter(dst.ob_conf, src.ob_conf, ob_ok, ob_slot),
+        ob_quadric=scatter(dst.ob_quadric, src.ob_quadric, ob_ok, ob_slot),
+        ob_valid=dst.ob_valid.at[ob_slot].set(True, mode="drop"),
+        room_center=scatter(dst.room_center, room_center, rm_ok, rm_slot),
+        room_walls=scatter(dst.room_walls, remap_pl(src.room_walls),
+                           rm_ok, rm_slot),
+        room_is_corridor=scatter(dst.room_is_corridor, src.room_is_corridor,
+                                 rm_ok, rm_slot),
+        room_valid=dst.room_valid.at[rm_slot].set(True, mode="drop"),
+        room_marker=scatter(dst.room_marker, src.room_marker, rm_ok,
+                            rm_slot),
+        room_ground=scatter(dst.room_ground, remap_pl(src.room_ground),
+                            rm_ok, rm_slot),
+        door_pose=scatter(dst.door_pose, door_pose, dr_ok, dr_slot),
+        door_marker=scatter(dst.door_marker, src.door_marker, dr_ok,
+                            dr_slot),
+        door_valid=dst.door_valid.at[dr_slot].set(True, mode="drop"),
+        marker_pose=scatter(dst.marker_pose, marker_pose, mk_ok, mk_slot),
+        marker_id=scatter(dst.marker_id, src.marker_id, mk_ok, mk_slot),
+        marker_valid=dst.marker_valid.at[mk_slot].set(True, mode="drop"),
+        n_planes=jnp.minimum(
+            dst.n_planes + jnp.sum(src.pl_valid.astype(jnp.int32)), P
+        ).astype(jnp.int32),
+        n_obs=jnp.minimum(
+            dst.n_obs + jnp.sum(ob_take.astype(jnp.int32)), Q
+        ).astype(jnp.int32),
+        n_rooms=jnp.minimum(
+            dst.n_rooms + jnp.sum(src.room_valid.astype(jnp.int32)), R
+        ).astype(jnp.int32),
+        n_doors=jnp.minimum(
+            dst.n_doors + jnp.sum(src.door_valid.astype(jnp.int32)), D
+        ).astype(jnp.int32),
+        n_markers=jnp.minimum(
+            dst.n_markers + jnp.sum(src.marker_valid.astype(jnp.int32)), M
+        ).astype(jnp.int32),
+    )
+    stats = SgMergeStats(
+        n_planes_moved=jnp.sum(pl_ok.astype(jnp.int32)),
+        n_obs_moved=jnp.sum(ob_ok.astype(jnp.int32)),
+        n_rooms_moved=jnp.sum(rm_ok.astype(jnp.int32)),
+    )
+    return new, stats
+
+
+class StashedMap(NamedTuple):
+    """One inactive Atlas map with its place-recognition state and scene
+    graph (the reference keeps these alive on the Map object itself,
+    Map.h:200-216)."""
+
+    epoch: int
+    map: MapState
+    db: object = None
+    vocab: object = None
+    sg: object = None  # SceneGraphState or None
+
+
 class Atlas:
     """Host-side multi-map registry (the reference's Atlas object graph,
     reduced to: one active map + stashed inactive maps with their
-    place-recognition databases)."""
+    place-recognition databases and scene graphs)."""
 
     def __init__(self):
-        # (epoch, map, db, vocab) of non-active maps
-        self.stashed: list[tuple[int, MapState, object, object]] = []
+        self.stashed: list[StashedMap] = []
         self.n_maps_created = 1
 
-    def stash(self, epoch: int, m: MapState, db=None, vocab=None) -> None:
-        self.stashed.append((epoch, m, db, vocab))
+    def stash(self, epoch: int, m: MapState, db=None, vocab=None,
+              sg=None) -> None:
+        self.stashed.append(StashedMap(epoch, m, db, vocab, sg))
         self.n_maps_created += 1
 
     def __len__(self) -> int:

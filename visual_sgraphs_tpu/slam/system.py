@@ -181,6 +181,7 @@ class SlamSystem:
             t.match_radius_coarse, t.match_radius_fine, True,
         )
         ts = float(timestamp)
+        self._last_ts = ts
         with self.timers.stage("track_dispatch"):
             frame, res, pose_sel, vel_sel, T_rel, packed = step(
                 self.map, gray, depth, jnp.asarray(ts, jnp.float32),
@@ -207,6 +208,7 @@ class SlamSystem:
         previous batch's decisions and dispatch the next batch as one
         ``lax.scan`` program (tracking.make_frame_scan)."""
         B = self.cfg.tracking.pipeline_depth
+        self._last_ts = float(timestamp)
         self._batch_buf.append(
             (gray, depth, float(timestamp))
         )
@@ -264,6 +266,8 @@ class SlamSystem:
         with self.timers.stage("track_resolve"):
             pk = np.asarray(pb["packeds"])  # (B, 4) — ONE readback
         inserted = False
+        relocated_any = False  # a reloc/map-swap invalidates the dispatch-
+        # time pose chain and reference keyframe of this batch
         B = pk.shape[0]
         # fold the whole batch's match/visibility stats in ONE masked pair
         # of device ops (per-frame pytree slicing costs ~13 dispatches each)
@@ -285,6 +289,7 @@ class SlamSystem:
                 self.peak_inliers = max(self.peak_inliers, n_inl)
                 if (
                     not inserted
+                    and not relocated_any
                     and not self.cfg.localization_only
                     and self._need_keyframe(n_inl)
                 ):
@@ -292,7 +297,8 @@ class SlamSystem:
                     res_i = jax.tree.map(lambda x: x[i], pb["results"])
                     self._last_depth_img = pb["depths"][i]
                     with self.timers.stage("kf_insert"):
-                        self._insert_keyframe_fused(frame_i, res_i, n_inl)
+                        self._insert_keyframe_fused(frame_i, res_i, n_inl,
+                                                    ts=pb["tss"][i])
                     inserted = True
             else:
                 self.state = TrackState.RECENTLY_LOST
@@ -307,6 +313,7 @@ class SlamSystem:
                     if relocated:
                         self.state = TrackState.OK
                         self.lost_frames = 0
+                        relocated_any = True
                 if not relocated:
                     budget = int(
                         t.recently_lost_budget * self.cfg.camera.fps
@@ -314,12 +321,15 @@ class SlamSystem:
                     if self.lost_frames >= budget:
                         self._new_map()
                         return
-        if self.state == TrackState.OK:
+        if self.state == TrackState.OK and not relocated_any:
             # re-anchor the device pose chain on the (possibly BA/loop
             # adjusted) pose of the dispatch-time reference keyframe: the
             # last batch frame's pose is T_rel composed with that row, so
             # map corrections propagate into tracking continuity (valid
-            # because the next batch dispatches only after this resolve)
+            # because the next batch dispatches only after this resolve).
+            # Skipped after a mid-batch relocalization: last_pose/ref_kf
+            # already point at the reloc candidate and the dispatch-time
+            # T_rel chain is the stale lost-frame track.
             self.last_pose = _compose_rel(
                 pb["T_rels"][-1],
                 self.map.kf_pose[jnp.asarray(pb["ref_host"], jnp.int32)],
@@ -341,7 +351,8 @@ class SlamSystem:
             self._stats_buf.append((p["res"].slot_pt, p["res"].vis_pt))
             if not self.cfg.localization_only and self._need_keyframe(n_inl):
                 with self.timers.stage("kf_insert", sync_on=None):
-                    self._insert_keyframe_fused(p["frame"], p["res"], n_inl)
+                    self._insert_keyframe_fused(p["frame"], p["res"], n_inl,
+                                                ts=p["ts"])
             return
         # ---- lost handling (Tracking.cc:2024-2098)
         self.state = TrackState.RECENTLY_LOST
@@ -430,7 +441,8 @@ class SlamSystem:
         return slots, vis
 
     def _insert_keyframe_fused(self, frame: FrameObs,
-                               res: tracking.TrackResult, n_inl: int):
+                               res: tracking.TrackResult, n_inl: int,
+                               ts: float | None = None):
         """Keyframe path — insertion, maintenance, plane pipeline, joint
         BA and the place-recognition query — as ONE device program
         (slam/kf_program.py).
@@ -457,9 +469,19 @@ class SlamSystem:
         if lc is not None:
             # resolve the PREVIOUS keyframe's place query first — a loop
             # correction must land before this keyframe's program runs
+            ref_pose_before = self.map.kf_pose[self.ref_kf]
             with self.timers.stage("loop_detect"):
                 closed = lc.resolve_pending(self)
             if closed:
+                # recompose the pending keyframe's tracked pose into the
+                # corrected world: T' = (T ∘ T_ref_old⁻¹) ∘ T_ref_new — the
+                # correction the reference applies to the current keyframe
+                # inside CorrectLoop (LoopClosing.cc:977-1008); without it
+                # the new keyframe lands displaced by the full loop drift.
+                res = res._replace(pose=_compose_rel(
+                    _velocity_of(res.pose, ref_pose_before),
+                    self.map.kf_pose[self.ref_kf],
+                ))
                 self.last_pose = self.map.kf_pose[self.ref_kf]
                 self.events.emit("loop_closed", cand=lc.last_loop)
             loop_on = lc._ensure_vocab(self.map, self.n_kf_host)
@@ -470,15 +492,13 @@ class SlamSystem:
             mgr = self.scenegraph
             mgr._kf_count += 1
             do_maint = (mgr._kf_count % mgr.maintenance_interval) == 0
-            pending = mgr._pending_sem.pop(
-                round(float(self._last_ts or -1.0), 4), None
+            # nearest-in-time semantics for THIS keyframe's frame (<50 ms,
+            # common.cc:1190) — timestamps stay host-side float64, so real
+            # TUM-epoch stamps (~1.3e9 s) match exactly (an f32 round trip
+            # would quantize them to ~100 s)
+            pending = mgr.pop_semantics(
+                ts if ts is not None else self._last_ts
             )
-            if pending is None and mgr._pending_sem:
-                # fall back to the newest provided semantics (timestamps
-                # are matched approximately, common.cc:1190)
-                pending = mgr._pending_sem.pop(
-                    max(mgr._pending_sem.keys()), None
-                )
             if pending is not None:
                 sem_img, conf_img = pending
             mgr._key, sub = jax.random.split(mgr._key)
@@ -662,9 +682,18 @@ class SlamSystem:
             db = vocab = None
             if self.loop_closer is not None:
                 db, vocab = self.loop_closer.db, self.loop_closer.vocab
-            self.atlas.stash(self.epoch, self.map, db, vocab)
+            sg = self.scenegraph.state if self.scenegraph is not None \
+                else None
+            self.atlas.stash(self.epoch, self.map, db, vocab, sg)
             self.epoch = self.atlas.n_maps_created
         self.map = empty_map(self.cfg.capacity, self.cfg.orb)
+        if self.scenegraph is not None:
+            from visual_sgraphs_tpu.scenegraph.state import empty_scenegraph
+
+            self.scenegraph.state = empty_scenegraph(
+                self.cfg.capacity, max_obs=self.scenegraph.state.ob_kf.shape[0]
+            )
+            self.scenegraph.n_obs_host = 0
         if self.loop_closer is not None:
             self.loop_closer.reset()
         if self.imu is not None:
@@ -690,7 +719,7 @@ class SlamSystem:
         from visual_sgraphs_tpu.place.loop_closer import reloc_in_map
 
         for i in reversed(range(len(self.atlas.stashed))):
-            epoch, m_old, db, vocab = self.atlas.stashed[i]
+            epoch, m_old, db, vocab, sg_old = self.atlas.stashed[i]
             if db is None or vocab is None:
                 continue
             hit = reloc_in_map(
@@ -708,9 +737,14 @@ class SlamSystem:
                 ydb = yvocab = None
                 if self.loop_closer is not None:
                     ydb, yvocab = self.loop_closer.db, self.loop_closer.vocab
-                self.atlas.stash(self.epoch, self.map, ydb, yvocab)
+                ysg = self.scenegraph.state if self.scenegraph is not None \
+                    else None
+                self.atlas.stash(self.epoch, self.map, ydb, yvocab, ysg)
             self.map = m_old
             self.epoch = epoch
+            if self.scenegraph is not None and sg_old is not None:
+                self.scenegraph.state = sg_old
+                self.scenegraph.n_obs_host = int(sg_old.n_obs)
             if self.loop_closer is not None:
                 self.loop_closer.db = db
                 self.loop_closer.vocab = vocab
@@ -730,7 +764,7 @@ class SlamSystem:
         from visual_sgraphs_tpu.slam import atlas as atlas_mod
 
         for i in reversed(range(len(self.atlas.stashed))):
-            epoch_old, m_old, db, vocab = self.atlas.stashed[i]
+            epoch_old, m_old, db, vocab, sg_old = self.atlas.stashed[i]
             if db is None or vocab is None:
                 continue
             hit = reloc_in_map(
@@ -760,6 +794,39 @@ class SlamSystem:
                 kf_new_alloc, -1,
             )
             merged, stats = atlas_mod.merge_maps(m_old, self.map, A)
+            self.events.emit(
+                "atlas_merge", n_kf_moved=stats.n_kf_moved,
+                n_pt_moved=stats.n_pt_moved,
+                n_kf_dropped=self.map.n_kf - stats.n_kf_moved,
+                n_pt_dropped=self.map.n_pt - stats.n_pt_moved,
+            )
+            if self.scenegraph is not None:
+                # migrate the young map's scene graph into the old map's
+                # (LoopClosing::MergeLocal entity migration,
+                # LoopClosing.cc:1552-1683), then re-associate duplicates
+                from visual_sgraphs_tpu.scenegraph.manager import (
+                    reassociate_planes,
+                )
+                from visual_sgraphs_tpu.scenegraph.state import (
+                    empty_scenegraph,
+                )
+
+                dst_sg = sg_old if sg_old is not None else empty_scenegraph(
+                    self.cfg.capacity,
+                    max_obs=self.scenegraph.state.ob_kf.shape[0],
+                )
+                merged_sg, sg_stats = atlas_mod.merge_scenegraphs(
+                    dst_sg, self.scenegraph.state, A, kf_new,
+                )
+                merged_sg = reassociate_planes(
+                    merged_sg, min_votes=self.cfg.scenegraph.plane_min_votes
+                )
+                self.scenegraph.state = merged_sg
+                self.scenegraph.n_obs_host = int(merged_sg.n_obs)
+                self.events.emit(
+                    "sg_merge", n_planes=sg_stats.n_planes_moved,
+                    n_obs=sg_stats.n_obs_moved,
+                )
             del self.atlas.stashed[i]
             # remap this epoch's trajectory refs into the merged map
             kf_new_np = np.asarray(kf_new)
@@ -933,8 +1000,8 @@ class SlamSystem:
 
     def _epoch_kf_poses(self) -> dict[int, jax.Array]:
         tables = {self.epoch: self.map.kf_pose}
-        for epoch, m, _, _ in self.atlas.stashed:
-            tables[epoch] = m.kf_pose
+        for entry in self.atlas.stashed:
+            tables[entry.epoch] = entry.map.kf_pose
         return tables
 
     def frame_poses(self) -> np.ndarray:
@@ -1005,9 +1072,10 @@ class SlamSystem:
         self.events.emit("global_ba", n_kf=int(self.n_kf_host))
 
     def trajectory_euroc(self) -> str:
-        """EuRoC-format trajectory (timestamp_ns tx ty tz qw qx qy qz) of
-        camera poses in world frame (System::SaveTrajectoryEuRoC,
-        System.cc:579+)."""
+        """EuRoC-format trajectory (timestamp_ns tx ty tz qx qy qz qw) of
+        camera poses in world frame — q in x y z w order, matching
+        System::SaveTrajectoryEuRoC (System.cc:748) and what evo/the
+        standard evaluation tooling parse for these files."""
         lines = []
         poses = self.frame_poses()
         for (ts, _, _, _, tracked), T_cw in zip(self.trajectory, poses):
@@ -1017,7 +1085,7 @@ class SlamSystem:
             qw, qx, qy, qz, tx, ty, tz = T_wc
             lines.append(
                 f"{int(ts * 1e9)} {tx:.7f} {ty:.7f} {tz:.7f} "
-                f"{qw:.7f} {qx:.7f} {qy:.7f} {qz:.7f}"
+                f"{qx:.7f} {qy:.7f} {qz:.7f} {qw:.7f}"
             )
         return "\n".join(lines) + "\n"
 

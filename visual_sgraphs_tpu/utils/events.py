@@ -34,6 +34,14 @@ class EventLog:
         return [p for _, k, p in self.records if k == kind]
 
     def dump_jsonl(self, path: str) -> None:
+        def _coerce(v):
+            try:  # device scalars / numpy values stored lazily by emit()
+                return v.item()
+            except AttributeError:
+                return v
+
         with open(path, "w") as f:
             for t, k, p in self.records:
-                f.write(json.dumps({"t": t, "kind": k, **p}) + "\n")
+                row = {"t": t, "kind": k}
+                row.update({kk: _coerce(vv) for kk, vv in p.items()})
+                f.write(json.dumps(row, default=str) + "\n")
