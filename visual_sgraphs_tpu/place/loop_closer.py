@@ -309,7 +309,7 @@ class LoopCloser:
             system.map, self.db, self.vocab, kf,
             self.cfg.min_gap, self.cfg.top_n_candidates, extra=extra,
         )
-        self._pending_det = (
+        self.queue_detection(
             kf_host if kf_host is not None else int(kf), packed
         )
         return corrected
@@ -330,7 +330,13 @@ class LoopCloser:
     def queue_detection(self, kf_host: int, packed) -> None:
         """Store a detection program's packed scalars for resolution at
         the next keyframe (used by the fused keyframe program, which runs
-        the device half itself)."""
+        the device half itself).  The host copy starts as soon as the
+        program finishes on device, so the resolve a keyframe later reads
+        host memory instead of paying a tunnel round trip."""
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass
         self._pending_det = (kf_host, packed)
 
     def _resolve_detection(self, system, kf_host: int,

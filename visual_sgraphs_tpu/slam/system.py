@@ -50,6 +50,14 @@ _inverse_pose = jax.jit(lie.se3_inverse)
 _compose_rel = jax.jit(
     lambda rel, base: lie.se3_normalize(lie.se3_multiply(rel, base))
 )
+# slice one frame's observation + track result out of a batch as ONE
+# dispatch (per-field host slicing costs ~20 tunnel dispatches)
+_slice_kf = jax.jit(
+    lambda frames, results, i: (
+        jax.tree.map(lambda x: x[i], frames),
+        jax.tree.map(lambda x: x[i], results),
+    )
+)
 
 
 class SlamSystem:
@@ -205,8 +213,11 @@ class SlamSystem:
 
     def _track_batched(self, gray, depth, timestamp: float):
         """Buffer frames; every ``pipeline_depth`` frames resolve the
-        previous batch's decisions and dispatch the next batch as one
-        ``lax.scan`` program (tracking.make_frame_scan)."""
+        previous batch's decisions (from its PREFETCHED packed scalars) and
+        dispatch ONE fused cycle program (slam/cycle_program.py) that runs
+        the chosen keyframe's whole pipeline and then tracks the new batch
+        against the freshly updated map — one dispatch, one readback, and
+        a handful of host decisions per B frames."""
         B = self.cfg.tracking.pipeline_depth
         self._last_ts = float(timestamp)
         self._batch_buf.append(
@@ -215,22 +226,56 @@ class SlamSystem:
         if len(self._batch_buf) < B:
             return self.last_pose
         buf, self._batch_buf = self._batch_buf, []
-        # resolve the in-flight batch FIRST: its keyframe insertion and any
-        # loop correction must land before the next dispatch sees the map
-        # (the resolve readback has been overlapping this batch's frame
-        # arrivals since the last dispatch)
-        self._resolve_batch()
+        prev, self._pending_batch = self._pending_batch, None
+        kf_choice = None
+        fused_cycle = self.cfg.mapping.fast_ba
+        self._batch_chain_broken = False
+        if prev is not None:
+            self._in_batch_resolve = True
+            try:
+                kf_choice = self._resolve_batch_inner(
+                    prev, defer_kf=fused_cycle
+                )
+            finally:
+                self._in_batch_resolve = False
         if self.state != TrackState.OK:
+            if kf_choice is not None:
+                # a keyframe was chosen before the stream went lost: insert
+                # it immediately (it anchors future relocalization)
+                i, n_inl, kf_ts = kf_choice
+                frame_i, res_i = _slice_kf(
+                    prev["frames"], prev["results"], jnp.asarray(i, jnp.int32)
+                )
+                res_i = res_i._replace(pose=_compose_rel(
+                    prev["T_rels"][i],
+                    self.map.kf_pose[jnp.asarray(prev["ref_host"],
+                                                 jnp.int32)],
+                ))
+                self._last_depth_img = prev["depths"][i]
+                self._insert_keyframe_fused(frame_i, res_i, n_inl, ts=kf_ts)
             # lost mid-stream: replay this buffer through the serial path
             for g, d, ts in buf:
                 self._last_depth_img = d
                 self.track_rgbd(g, d, ts)
             return self.last_pose
+        if fused_cycle and prev is not None and \
+                not self._batch_chain_broken:
+            self._dispatch_cycle(buf, prev, kf_choice)
+        else:
+            # first batch after entering pipelined mode, a mid-batch
+            # relocalization (the previous chain is stale), or the generic
+            # BA engine: plain scan from the current pose
+            self._dispatch_scan(buf)
+        return self.last_pose
+
+    def _dispatch_scan(self, buf) -> None:
+        """Dispatch a plain tracking scan over ``buf`` (first batch after
+        entering pipelined mode, or generic-engine configurations)."""
         t = self.cfg.tracking
         scan = tracking.make_frame_scan(
             self.cfg.camera, self.cfg.orb,
             self.cfg.mapping.local_window, 4096,
-            t.match_radius_coarse, t.match_radius_fine, True, B,
+            t.match_radius_coarse, t.match_radius_fine, True, len(buf),
         )
         grays = jnp.stack([g for g, _, _ in buf])
         depths = jnp.stack([d for _, d, _ in buf])
@@ -241,6 +286,13 @@ class SlamSystem:
                 self.ref_kf, self.cam_K,
                 jnp.asarray(t.min_inliers_ok, jnp.int32), self.cam_bf,
             )
+        # prefetch: the host copy starts the moment the scan finishes on
+        # device, so the next cycle's resolve reads host memory instead of
+        # paying the tunnel round trip
+        try:
+            packeds.copy_to_host_async()
+        except Exception:
+            pass
         self.last_pose = T_out
         self.velocity = vel_out
         self._pending_batch = {
@@ -249,7 +301,123 @@ class SlamSystem:
             "tss": [ts for _, _, ts in buf],
             "epoch": self.epoch, "ref_host": self.ref_kf_host,
         }
-        return self.last_pose
+
+    def _dispatch_cycle(self, buf, prev, kf_choice) -> None:
+        """Dispatch the fused [keyframe pipeline + batch scan] program.
+
+        ``prev`` is the just-resolved batch (its tensors are still device
+        handles); ``kf_choice`` is (frame index, n_inliers, ts) when the
+        resolve chose a keyframe out of it, else None."""
+        from visual_sgraphs_tpu.slam.cycle_program import make_cycle_program
+
+        t = self.cfg.tracking
+        mc = self.cfg.mapping
+        pc = self.cfg.place
+        lc = self.loop_closer
+        sg_on = self.scenegraph is not None
+        insert_kf = kf_choice is not None
+        do_lba = do_cull = do_maint = loop_on = False
+        sem_img = conf_img = None
+        if insert_kf:
+            i_kf, n_inl, kf_ts = kf_choice
+            self._kf_counter = getattr(self, "_kf_counter", 0) + 1
+            do_lba = (self._kf_counter % mc.lba_interval) == 0
+            do_cull = (self._kf_counter % mc.cull_interval) == 0
+            if lc is not None:
+                # resolve the PREVIOUS keyframe's place query first — a
+                # loop correction must land in the map before this cycle's
+                # program consumes it (the keyframe pose and the tracking
+                # chain recompose inside the program, so the correction
+                # propagates without any host-side pose surgery)
+                with self.timers.stage("loop_detect"):
+                    closed = lc.resolve_pending(self)
+                if closed:
+                    self.events.emit("loop_closed", cand=lc.last_loop)
+                loop_on = lc._ensure_vocab(self.map, self.n_kf_host)
+            if sg_on:
+                mgr = self.scenegraph
+                mgr._kf_count += 1
+                do_maint = (mgr._kf_count % mgr.maintenance_interval) == 0
+                pending = mgr.pop_semantics(kf_ts)
+                if pending is not None:
+                    sem_img, conf_img = pending
+                mgr._key, sub = jax.random.split(mgr._key)
+            else:
+                sub = jax.random.PRNGKey(0)
+        else:
+            sub = jax.random.PRNGKey(0)
+            i_kf, n_inl = 0, 0
+
+        program = make_cycle_program(
+            self.cfg.camera, self.cfg.orb, mc.local_window,
+            t.match_radius_coarse, t.match_radius_fine, len(buf),
+            insert_kf,
+            self.cfg.scenegraph if (insert_kf and sg_on) else None,
+            sem_img is not None, conf_img is not None,
+            loop_on, do_lba, do_cull, do_maint,
+            mc.lba_iters, mc.point_cull_min_obs,
+            mc.point_cull_min_found_ratio, mc.kf_cull_redundancy,
+            pc.min_gap if lc else 10, pc.top_n_candidates if lc else 3,
+        )
+        grays = jnp.stack([g for g, _, _ in buf])
+        depths = jnp.stack([d for _, d, _ in buf])
+        tss = jnp.asarray([ts for _, _, ts in buf], jnp.float32)
+        sg_state = self.scenegraph.state if sg_on else None
+        with self.timers.stage("track_dispatch"):
+            (new_map, new_sg, new_db, kf, packed_det,
+             frames, results, T_rels, packeds, T_out, vel_out) = program(
+                self.map, sg_state,
+                lc.db if (lc and loop_on) else None,
+                lc.vocab if (lc and loop_on) else None,
+                prev["frames"], prev["results"], prev["packeds"],
+                prev["T_rels"],
+                jnp.asarray(i_kf, jnp.int32),
+                jnp.asarray(prev["ref_host"], jnp.int32),
+                prev["depths"],
+                jnp.asarray(sem_img) if sem_img is not None
+                else jnp.zeros((1, 1), jnp.int32),
+                jnp.asarray(conf_img) if conf_img is not None
+                else jnp.zeros((1, 1), jnp.float32),
+                sub, grays, depths, tss, self.velocity,
+                self.cam_K, self.cam_bf,
+                jnp.asarray(t.min_inliers_ok, jnp.int32),
+            )
+        try:
+            packeds.copy_to_host_async()
+        except Exception:
+            pass
+        self.map = new_map
+        if sg_on and insert_kf:
+            self.scenegraph.state = new_sg
+        self.last_pose = T_out
+        self.velocity = vel_out
+        if insert_kf:
+            kf_host = min(self.n_kf_host, self.map.K - 1)
+            self.n_kf_host += 1
+            self.events.emit("keyframe", kf=kf_host, n_inliers=n_inl)
+            self.ref_kf = kf
+            self.ref_kf_host = kf_host
+            self.frames_since_kf = 0
+            self.last_kf_inliers = max(n_inl, 1)
+            self.peak_inliers = self.last_kf_inliers
+            if lc is not None:
+                if loop_on:
+                    lc.db = new_db
+                    lc.queue_detection(kf_host, packed_det)
+                    if sg_on:
+                        self.scenegraph.defer_nobs_readback = True
+                if self.atlas.stashed:
+                    frame_i, _ = _slice_kf(
+                        prev["frames"], prev["results"],
+                        jnp.asarray(i_kf, jnp.int32),
+                    )
+                    self.try_merge_stashed(kf_host, frame_i)
+        self._pending_batch = {
+            "frames": frames, "results": results, "T_rels": T_rels,
+            "packeds": packeds, "depths": depths,
+            "tss": [ts for _, _, ts in buf],
+            "epoch": self.epoch, "ref_host": self.ref_kf_host,
+        }
 
     def _resolve_batch(self) -> None:
         pb, self._pending_batch = self._pending_batch, None
@@ -261,21 +429,29 @@ class SlamSystem:
         finally:
             self._in_batch_resolve = False
 
-    def _resolve_batch_inner(self, pb) -> None:
+    def _resolve_batch_inner(self, pb, defer_kf: bool = False):
+        """Apply batch ``pb``'s host-side decisions.
+
+        With ``defer_kf`` (fused-cycle pipeline) the keyframe pipeline is
+        NOT dispatched here: the chosen frame's index is returned and rides
+        the next cycle program, which also folds the batch's found/visible
+        statistics on device.  Without it (flush / generic engine) the
+        keyframe program dispatches immediately, as before."""
         t = self.cfg.tracking
         with self.timers.stage("track_resolve"):
-            pk = np.asarray(pb["packeds"])  # (B, 4) — ONE readback
+            pk = np.asarray(pb["packeds"])  # (B, 4) — ONE prefetched read
         inserted = False
-        relocated_any = False  # a reloc/map-swap invalidates the dispatch-
-        # time pose chain and reference keyframe of this batch
+        relocated_any = False
+        kf_choice = None
         B = pk.shape[0]
-        # fold the whole batch's match/visibility stats in ONE masked pair
-        # of device ops (per-frame pytree slicing costs ~13 dispatches each)
-        acc_dev = jnp.asarray(pk[:, 1] >= t.min_inliers_ok)
-        self._stats_buf.append((
-            jnp.where(acc_dev[:, None], pb["results"].slot_pt, -1),
-            jnp.where(acc_dev[:, None], pb["results"].vis_pt, -1),
-        ))
+        if not defer_kf:
+            # fold the whole batch's match/visibility stats in ONE masked
+            # pair of device ops for the next keyframe program
+            acc_dev = jnp.asarray(pk[:, 1] >= t.min_inliers_ok)
+            self._stats_buf.append((
+                jnp.where(acc_dev[:, None], pb["results"].slot_pt, -1),
+                jnp.where(acc_dev[:, None], pb["results"].vis_pt, -1),
+            ))
         for i in range(B):
             n_inl = int(pk[i, 1])
             accepted = n_inl >= t.min_inliers_ok
@@ -293,12 +469,18 @@ class SlamSystem:
                     and not self.cfg.localization_only
                     and self._need_keyframe(n_inl)
                 ):
-                    frame_i = jax.tree.map(lambda x: x[i], pb["frames"])
-                    res_i = jax.tree.map(lambda x: x[i], pb["results"])
-                    self._last_depth_img = pb["depths"][i]
-                    with self.timers.stage("kf_insert"):
-                        self._insert_keyframe_fused(frame_i, res_i, n_inl,
-                                                    ts=pb["tss"][i])
+                    if defer_kf:
+                        kf_choice = (i, n_inl, pb["tss"][i])
+                    else:
+                        frame_i, res_i = _slice_kf(
+                            pb["frames"], pb["results"],
+                            jnp.asarray(i, jnp.int32),
+                        )
+                        self._last_depth_img = pb["depths"][i]
+                        with self.timers.stage("kf_insert"):
+                            self._insert_keyframe_fused(
+                                frame_i, res_i, n_inl, ts=pb["tss"][i],
+                            )
                     inserted = True
             else:
                 self.state = TrackState.RECENTLY_LOST
@@ -314,26 +496,28 @@ class SlamSystem:
                         self.state = TrackState.OK
                         self.lost_frames = 0
                         relocated_any = True
+                        kf_choice = None
+                        self._batch_chain_broken = True
                 if not relocated:
                     budget = int(
                         t.recently_lost_budget * self.cfg.camera.fps
                     )
                     if self.lost_frames >= budget:
                         self._new_map()
-                        return
-        if self.state == TrackState.OK and not relocated_any:
+                        return None
+        if self.state == TrackState.OK and not relocated_any \
+                and not defer_kf:
             # re-anchor the device pose chain on the (possibly BA/loop
-            # adjusted) pose of the dispatch-time reference keyframe: the
-            # last batch frame's pose is T_rel composed with that row, so
-            # map corrections propagate into tracking continuity (valid
-            # because the next batch dispatches only after this resolve).
-            # Skipped after a mid-batch relocalization: last_pose/ref_kf
-            # already point at the reloc candidate and the dispatch-time
-            # T_rel chain is the stale lost-frame track.
+            # adjusted) pose of the dispatch-time reference keyframe (in
+            # the fused-cycle pipeline this recomposition happens inside
+            # the cycle program instead).  Skipped after a mid-batch
+            # relocalization: last_pose/ref_kf already point at the reloc
+            # candidate and the dispatch-time T_rel chain is stale.
             self.last_pose = _compose_rel(
                 pb["T_rels"][-1],
                 self.map.kf_pose[jnp.asarray(pb["ref_host"], jnp.int32)],
             )
+        return kf_choice
 
     def _resolve_pending(self, p) -> None:
         """Apply frame ``p``'s host-side decisions (one readback)."""
