@@ -14,6 +14,7 @@ loop closure — on a synthetic 640x480 RGB-D orbit with 1000 features
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import time
 
@@ -71,6 +72,7 @@ def main():
         place=PlaceConfig(vocab_min_keyframes=4, consistency=1, min_gap=8,
                           loop_min_inliers=15, gba_after_loop=False),
     )
+    cfg = dataclasses.replace(cfg, profile=True)
     system = SlamSystem(cfg)
     system.scenegraph = SceneGraphManager(cfg.scenegraph, cfg.capacity)
 
@@ -90,6 +92,7 @@ def main():
     for i, (gray, depth, sem, T_wc, ts) in enumerate(frames):
         if i == warmup:
             system.flush()
+            system.timers.reset()  # measure steady state only
             t_start = time.time()
         system.scenegraph.provide_semantics(ts, sem)
         system.track_rgbd(gray, depth, ts)
@@ -103,6 +106,12 @@ def main():
         jnp.asarray(est), jnp.asarray(np.stack(gt))
     )
 
+    # per-stage profile (REGISTER_TIMES equivalent, SURVEY §5.1) + event
+    # counts ride in the artifact so perf regressions are diagnosable from
+    # BENCH_r*.json alone (VERDICT r3 task #5)
+    from collections import Counter
+
+    ev = Counter(k for _, k, _ in system.events.records)
     print(
         json.dumps(
             {
@@ -117,6 +126,9 @@ def main():
                     system.scenegraph.state.pl_valid
                 )),
                 "loops_closed": system.loop_closer.n_loops_closed,
+                "tracked_frames": int(system.tracked_mask().sum()),
+                "events": dict(ev),
+                "stages": system.timers.summary(),
                 "device": jax.devices()[0].device_kind,
             }
         )

@@ -249,6 +249,9 @@ class SystemConfig:
     profile: bool = False
     profile_sync: bool = False  # block_until_ready per stage (attribution)
     verbose_events: bool = False
+    # raise (instead of reconcile + event) when the host's mirrored
+    # keyframe slot diverges from the device-computed one — tests set this
+    strict_slot_check: bool = False
     camera: CameraConfig = CameraConfig()
     orb: OrbConfig = OrbConfig()
     tracking: TrackingConfig = TrackingConfig()

@@ -229,6 +229,7 @@ class LoopCloser:
         self._kf_since_loop = 10**9  # cooldown counter
         # one-keyframe-deep detection pipeline: (kf_host, packed scalars)
         self._pending_det: tuple[int, jax.Array] | None = None
+        self._warmed = False  # warm_programs ran for this session
 
     # ------------------------------------------------------------ internal
 
@@ -251,6 +252,81 @@ class LoopCloser:
                 self.db = db_mod.add_keyframe(
                     self.db, jnp.asarray(k, jnp.int32), bows[k]
                 )
+
+    def warm_programs(self, system) -> None:
+        """Compile the loop-resolution/correction/relocalization program
+        set ahead of the first real event.
+
+        The axon backend has no cross-process executable cache, so every
+        program compiles on first use — and the loop-correction chain's
+        first use is the first real loop closure, a multi-second
+        compile stall in the middle of steady-state tracking (the round-4
+        bench showed 5-8 s of it inside the measured window).  Running the
+        chain once on the live map with an identity loop constraint (all
+        results discarded) moves that cost to vocabulary-training time."""
+        import jax
+
+        from visual_sgraphs_tpu.slam.frame import FrameObs
+
+        m: MapState = system.map
+        kf = jnp.asarray(0, jnp.int32)
+        key = jax.random.PRNGKey(0)
+        fix_scale = not system.cfg.sensor_is_monocular()
+        S, _, _ = _loop_geometry(
+            m, kf, kf, key, self.cfg.loop_inlier_thresh_3d,
+            fix_scale=fix_scale,
+        )
+        _loop_drift(m.kf_pose, kf, kf, S)
+        edges = pgo.build_covis_edges(
+            m, min_weight=self.cfg.essential_min_weight,
+            max_edges=self.cfg.essential_max_edges,
+        )
+        fixed = jnp.zeros((m.K,), bool).at[0].set(True)
+        S_id = jnp.asarray([1, 0, 0, 0, 0, 0, 0, 1], jnp.float32)
+        if getattr(system, "imu", None) is not None:
+            res = pgo.optimize_essential_graph_4dof(
+                m.kf_pose, m.kf_valid, edges, loop_i=kf, loop_j=kf,
+                T_loop_ji=S_id[:7], fixed=fixed, iters=self.cfg.pgo_iters,
+            )
+        else:
+            res = pgo.optimize_essential_graph(
+                m.kf_pose, m.kf_valid, edges, loop_i=kf, loop_j=kf,
+                S_loop_ji=S_id, fixed=fixed, iters=self.cfg.pgo_iters,
+                fix_scale=fix_scale,
+            )
+        _ = pgo.correct_map(m, res)
+        sgm = getattr(system, "scenegraph", None)
+        if sgm is not None:
+            _ = pgo.correct_scenegraph(sgm.state, res, m)
+        _ = mapping.fuse_observations(m, kf, system.cam_K)
+        if self.cfg.gba_after_loop:
+            _ = mapping.global_ba(
+                m, system.cam_K, system.cam_bf, iters=self.cfg.gba_iters
+            )
+        elif self.cfg.loop_local_ba:
+            _ = mapping.local_ba(
+                m, kf, system.cam_K, system.cam_bf, n_window=10, iters=6,
+            )
+        # relocalization + mid-batch recovery programs (first use is a
+        # tracking failure — the worst possible moment for a compile)
+        dummy = FrameObs(
+            uv=m.kf_uv[0], depth=m.kf_depth[0], level=m.kf_level[0],
+            angle=m.kf_angle[0], desc=m.kf_desc[0], valid=m.kf_kp_valid[0],
+            timestamp=jnp.asarray(0.0, jnp.float32),
+        )
+        _reloc_attempt(m, dummy, kf, system.cam_K, key)
+        t = system.cfg.tracking
+        from visual_sgraphs_tpu.slam import tracking as tracking_mod
+
+        tracking_mod.track_frame_full(
+            m, dummy, system.last_pose, system.last_pose, kf,
+            system.cam_K, jnp.asarray(t.min_inliers_ok, jnp.int32),
+            n_window=system.cfg.mapping.local_window,
+            fx_radius=t.match_radius_coarse * 2.0,
+            fine_radius=t.match_radius_fine,
+            cam_bf=system.cam_bf,
+            img_wh=(system.cfg.camera.width, system.cfg.camera.height),
+        )
 
     def _ensure_vocab(self, m: MapState, n_kf_host: int | None = None) -> bool:
         """Lazily train the vocabulary from the map's own descriptors once
@@ -287,6 +363,16 @@ class LoopCloser:
         return True
 
     # ---------------------------------------------------------------- api
+
+    def ensure_ready(self, system) -> bool:
+        """_ensure_vocab + one-time ahead-of-time program warmup."""
+        ready = self._ensure_vocab(system.map,
+                                   getattr(system, "n_kf_host", None))
+        if ready and not self._warmed:
+            self._warmed = True
+            with system.timers.stage("loop_warmup"):
+                self.warm_programs(system)
+        return ready
 
     def on_keyframe(self, system, kf, frame: FrameObs,
                     kf_host: int | None = None,
@@ -335,7 +421,7 @@ class LoopCloser:
         host memory instead of paying a tunnel round trip."""
         try:
             packed.copy_to_host_async()
-        except Exception:
+        except (AttributeError, NotImplementedError):
             pass
         self._pending_det = (kf_host, packed)
 
@@ -392,15 +478,17 @@ class LoopCloser:
         kf = jnp.asarray(kf_host, jnp.int32)
         key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31)))
         fix_scale = not system.cfg.sensor_is_monocular()
-        S_cand_cur, n_inl, n_guided = _loop_geometry(
-            m, kf, jnp.asarray(best, jnp.int32), key,
-            self.cfg.loop_inlier_thresh_3d, fix_scale=fix_scale,
-        )
+        with system.timers.stage("loop_verify"):
+            S_cand_cur, n_inl, n_guided = _loop_geometry(
+                m, kf, jnp.asarray(best, jnp.int32), key,
+                self.cfg.loop_inlier_thresh_3d, fix_scale=fix_scale,
+            )
+            n_inl_host, n_guided_host = int(n_inl), int(n_guided)
         # double acceptance: optimized-Sim3 inliers AND guided re-match
         # support (the reference's OptimizeSim3 >= 20 then
         # SearchByProjection >= 40 double gate, LoopClosing.cc:560-948)
-        if int(n_inl) < self.cfg.loop_min_inliers or \
-                int(n_guided) < self.cfg.loop_min_inliers:
+        if n_inl_host < self.cfg.loop_min_inliers or \
+                n_guided_host < self.cfg.loop_min_inliers:
             return False
         # skip the correction when the loop constraint is already satisfied
         # (post-correction revisits verify at near-identity Sim3)
@@ -412,51 +500,57 @@ class LoopCloser:
             return False
 
         # ---- correct: essential graph + point propagation (CorrectLoop)
-        edges = pgo.build_covis_edges(
-            m, min_weight=self.cfg.essential_min_weight,
-            max_edges=self.cfg.essential_max_edges,
-        )
-        fixed = jnp.zeros((m.K,), bool).at[best].set(True)
-        inertial = (getattr(system, "imu", None) is not None
-                    and system.imu.initialized)
-        if inertial:
-            # visual-inertial loop: 4-dof essential graph (gravity fixes
-            # roll/pitch, IMU fixes scale — Optimizer.cc:6412)
-            S_ji = lie.sim3_inverse(S_cand_cur)
-            T_ji = jnp.concatenate([S_ji[:4], S_ji[4:7] / S_ji[7:8]])
-            result = pgo.optimize_essential_graph_4dof(
-                m.kf_pose, m.kf_valid, edges,
-                loop_i=jnp.asarray(best, jnp.int32), loop_j=kf,
-                T_loop_ji=T_ji, fixed=fixed, iters=self.cfg.pgo_iters,
+        with system.timers.stage("loop_correct"):
+            edges = pgo.build_covis_edges(
+                m, min_weight=self.cfg.essential_min_weight,
+                max_edges=self.cfg.essential_max_edges,
             )
-        else:
-            result = pgo.optimize_essential_graph(
-                m.kf_pose, m.kf_valid, edges,
-                loop_i=jnp.asarray(best, jnp.int32), loop_j=kf,
-                S_loop_ji=lie.sim3_inverse(S_cand_cur),
-                fixed=fixed, iters=self.cfg.pgo_iters, fix_scale=fix_scale,
+            fixed = jnp.zeros((m.K,), bool).at[best].set(True)
+            inertial = (getattr(system, "imu", None) is not None
+                        and system.imu.initialized)
+            if inertial:
+                # visual-inertial loop: 4-dof essential graph (gravity
+                # fixes roll/pitch, IMU fixes scale — Optimizer.cc:6412)
+                S_ji = lie.sim3_inverse(S_cand_cur)
+                T_ji = jnp.concatenate([S_ji[:4], S_ji[4:7] / S_ji[7:8]])
+                result = pgo.optimize_essential_graph_4dof(
+                    m.kf_pose, m.kf_valid, edges,
+                    loop_i=jnp.asarray(best, jnp.int32), loop_j=kf,
+                    T_loop_ji=T_ji, fixed=fixed, iters=self.cfg.pgo_iters,
+                )
+            else:
+                result = pgo.optimize_essential_graph(
+                    m.kf_pose, m.kf_valid, edges,
+                    loop_i=jnp.asarray(best, jnp.int32), loop_j=kf,
+                    S_loop_ji=lie.sim3_inverse(S_cand_cur),
+                    fixed=fixed, iters=self.cfg.pgo_iters,
+                    fix_scale=fix_scale,
+                )
+            system.map = pgo.correct_map(m, result)
+            sgm = getattr(system, "scenegraph", None)
+            if sgm is not None:
+                # move plane equations/centroids, room centers, door and
+                # marker poses through the same per-reference-KF Sim3
+                # correction (LoopClosing.cc:1010-1035 + Optimizer.cc:
+                # 621-638 staging)
+                sgm.state = pgo.correct_scenegraph(
+                    sgm.state, result, system.map
+                )
+            # fuse duplicate landmarks in the welded region (SearchAndFuse)
+            system.map = mapping.fuse_observations(
+                system.map, kf, system.cam_K
             )
-        system.map = pgo.correct_map(m, result)
-        sgm = getattr(system, "scenegraph", None)
-        if sgm is not None:
-            # move plane equations/centroids, room centers, door and marker
-            # poses through the same per-reference-KF Sim3 correction
-            # (LoopClosing.cc:1010-1035 + Optimizer.cc:621-638 staging)
-            sgm.state = pgo.correct_scenegraph(sgm.state, result, system.map)
-        # fuse duplicate landmarks in the welded region (SearchAndFuse)
-        system.map = mapping.fuse_observations(
-            system.map, kf, system.cam_K
-        )
         if self.cfg.gba_after_loop:
             system.run_global_ba(iters=self.cfg.gba_iters)
         elif self.cfg.loop_local_ba:
             # welding-window refinement around the closed loop — the
             # reference's LoopClosureLocalBundleAdjustment (Optimizer.cc:
             # 4634), cheaper than a full GBA per loop
-            system.map, _ = mapping.local_ba(
-                system.map, kf, system.cam_K, system.cam_bf,
-                n_window=10, iters=6,
-            )
+            with system.timers.stage("loop_lba"):
+                system.map, _ = mapping.local_ba(
+                    system.map, kf, system.cam_K, system.cam_bf,
+                    n_window=10, iters=6,
+                )
         self.n_loops_closed += 1
         self.last_loop = (kf_host, best)
         self._kf_since_loop = 0
@@ -475,6 +569,7 @@ class LoopCloser:
         if hit is None:
             return False
         pose, cid = hit
+        system.events.emit("reloc", cand=cid)
         system.last_pose = pose
         system.ref_kf = jnp.asarray(cid, jnp.int32)
         system.ref_kf_host = cid

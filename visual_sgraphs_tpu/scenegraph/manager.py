@@ -494,15 +494,20 @@ def reassociate_planes(sg: SceneGraphState, min_votes: float = 3.0,
         pl_valid=sg.pl_valid.at[small].set(
             jnp.where(do, False, sg.pl_valid[small])
         ),
-        # re-point the smaller plane's observations (and room walls)
+        # re-point the smaller plane's observations (and room walls);
+        # cast keeps the stored index dtype under x64 (lax.cond branch
+        # parity in the fused keyframe program)
         ob_plane=jnp.where(
-            do & (sg.ob_plane == small), big, sg.ob_plane
+            do & (sg.ob_plane == small),
+            big.astype(sg.ob_plane.dtype), sg.ob_plane,
         ),
         room_walls=jnp.where(
-            do & (sg.room_walls == small), big, sg.room_walls
+            do & (sg.room_walls == small),
+            big.astype(sg.room_walls.dtype), sg.room_walls,
         ),
         room_ground=jnp.where(
-            do & (sg.room_ground == small), big, sg.room_ground
+            do & (sg.room_ground == small),
+            big.astype(sg.room_ground.dtype), sg.room_ground,
         ),
     )
 

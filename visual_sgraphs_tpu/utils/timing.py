@@ -24,10 +24,14 @@ STAGES = (
     "orb_extract",        # Frame construction (fused with track dispatch)
     "track_dispatch",     # per-frame tracking program dispatch
     "track_resolve",      # deferred scalar readback + host decision
+    "track_retry",        # mid-batch failure recovery re-track
     "kf_insert",          # insert_and_maintain dispatch
     "local_ba",           # standalone LBA (scene-graph / VI variants)
+    "loop_warmup",        # one-time AOT compile of the loop program set
     "loop_detect",        # BoW + candidate retrieval + consistency
-    "loop_correct",       # Sim3 verify + PGO + fuse
+    "loop_verify",        # Sim3 RANSAC + refine + guided re-match
+    "loop_correct",       # PGO + map/scene-graph correction + fuse
+    "loop_lba",           # welding-window BA after a loop
     "global_ba",          # GBA after loop
     "reloc",              # relocalization attempts
     "sg_detect",          # scene-graph plane extraction + association
