@@ -24,15 +24,18 @@ import numpy as np
 def _enable_compile_cache():
     """Persistent XLA compile cache — the remote TPU compiler in this
     environment takes O(minutes) per large program, and the cache removes
-    that for every process after the first."""
+    that for every process after the first.  Per-host directory: loading
+    XLA:CPU AOT artifacts compiled on a different machine type falls back
+    with feature-mismatch errors."""
     import os
+    import socket
 
     import jax
 
     try:
         jax.config.update(
             "jax_compilation_cache_dir",
-            os.path.expanduser("~/.jax_cache"),
+            os.path.expanduser(f"~/.jax_cache/{socket.gethostname()}"),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
@@ -69,8 +72,7 @@ def main():
         # load (mbAbortBA); BA every 2nd keyframe at 6 LM iterations
         mapping=MappingConfig(lba_iters=6, lba_interval=2, cull_interval=2),
         loop_closing=True,
-        place=PlaceConfig(vocab_min_keyframes=4, consistency=1, min_gap=8,
-                          loop_min_inliers=15, gba_after_loop=False),
+        place=PlaceConfig(vocab_min_keyframes=4, consistency=1, min_gap=8),
     )
     cfg = dataclasses.replace(cfg, profile=True)
     system = SlamSystem(cfg)
@@ -106,6 +108,61 @@ def main():
         jnp.asarray(est), jnp.asarray(np.stack(gt))
     )
 
+    # per-chip BA throughput (BASELINE.md metric "BA ms/iter per chip"):
+    # the landmark-sharded GN engine on a KITTI-scale problem (K=128,
+    # N=32768, 8 obs/landmark), 10 post-compile iterations
+    ba_ms_per_iter = None
+    try:
+        from visual_sgraphs_tpu.core import cameras as _cams
+        from visual_sgraphs_tpu.core import lie as _lie
+        from visual_sgraphs_tpu.parallel import make_mesh, sharded_ba_grouped
+
+        rng = np.random.default_rng(0)
+        n_kf, n_pt, O = 128, 32768, 8
+        CAM = jnp.asarray([300.0, 300.0, 320.0, 240.0], jnp.float32)
+        pts = jnp.asarray(
+            rng.normal(size=(n_pt, 3)) * [4, 2, 1] + [0, 0, 8.0],
+            jnp.float32,
+        )
+        T = jax.vmap(_lie.se3_exp)(
+            jnp.asarray(rng.normal(size=(n_kf, 6)) * 0.03, jnp.float32)
+        )
+        base = (np.arange(n_pt) * n_kf // n_pt).clip(0, n_kf - O)
+        kf_tab = jnp.asarray(
+            base[:, None] + np.arange(O)[None, :], jnp.int32
+        )
+        p_cam = jax.vmap(
+            lambda ks, X: _lie.se3_apply(T[ks], X)
+        )(kf_tab, pts)
+        uv = jax.vmap(lambda pc: _cams.project_pinhole(CAM, pc))(p_cam)
+        uvr = jnp.concatenate(
+            [uv, jnp.full(uv.shape[:-1] + (1,), -1.0, jnp.float32)],
+            axis=-1,
+        )
+        val_tab = p_cam[..., 2] > 0.1
+        T0 = jax.vmap(_lie.se3_boxplus)(
+            T, jnp.asarray(rng.normal(size=(n_kf, 6)) * 0.005, jnp.float32)
+        )
+        X0 = pts + jnp.asarray(
+            rng.normal(size=pts.shape) * 0.02, jnp.float32
+        )
+        fixed = jnp.zeros((n_kf,), bool).at[0].set(True).at[1].set(True)
+        mesh = make_mesh(1)
+
+        def _ba_run():
+            _, _, costs = sharded_ba_grouped(
+                T0, X0, kf_tab, uvr, val_tab, CAM, fixed,
+                jnp.ones(n_pt, bool), mesh, iters=10,
+            )
+            return jax.block_until_ready(costs)
+
+        _ba_run()  # compile
+        t0 = time.perf_counter()
+        _ba_run()
+        ba_ms_per_iter = round(1e3 * (time.perf_counter() - t0) / 10, 3)
+    except Exception as e:  # never let the metric kill the bench line
+        ba_ms_per_iter = f"failed: {e}"
+
     # per-stage profile (REGISTER_TIMES equivalent, SURVEY §5.1) + event
     # counts ride in the artifact so perf regressions are diagnosable from
     # BENCH_r*.json alone (VERDICT r3 task #5)
@@ -127,6 +184,7 @@ def main():
                 )),
                 "loops_closed": system.loop_closer.n_loops_closed,
                 "tracked_frames": int(system.tracked_mask().sum()),
+                "ba_ms_per_iter_chip": ba_ms_per_iter,
                 "events": dict(ev),
                 "stages": system.timers.summary(),
                 "device": jax.devices()[0].device_kind,

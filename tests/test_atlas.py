@@ -31,9 +31,13 @@ def _mini_map(rng, n_kf, n_pt, cap=None, orb=None, offset=0.0):
         kf_desc=m.kf_desc.at[:n_kf].set(desc),
         kf_kp_valid=m.kf_kp_valid.at[:n_kf].set(True),
         kf_obs_pt=m.kf_obs_pt.at[:n_kf].set(obs),
+        kf_seq=m.kf_seq.at[:n_kf].set(
+            jnp.arange(n_kf, dtype=jnp.int32)
+        ),
         pt_pos=m.pt_pos.at[:n_pt].set(pts),
         pt_valid=m.pt_valid.at[:n_pt].set(True),
         pt_first_kf=m.pt_first_kf.at[:n_pt].set(0),
+        pt_first_seq=m.pt_first_seq.at[:n_pt].set(0),
         n_kf=jnp.asarray(n_kf, jnp.int32),
         n_pt=jnp.asarray(n_pt, jnp.int32),
     )
@@ -84,10 +88,15 @@ def test_merge_respects_capacity(rng):
     dst = _mini_map(rng, 6, 70, cap=cap)
     src = _mini_map(rng, 4, 40, cap=cap)
     merged, stats = merge_maps(dst, src, lie.se3_identity())
-    assert int(merged.n_kf) == 8  # clamped
+    # n_kf/n_pt are monotone creation counters; VALID counts clamp at
+    # capacity (overflow entities are dropped and reported in the stats)
+    assert int(jnp.sum(merged.kf_valid)) == 8
     assert int(stats.n_kf_moved) == 2
-    assert int(merged.n_pt) == 80
+    assert int(jnp.sum(merged.pt_valid)) == 80
     assert int(stats.n_pt_moved) == 10
+    # the two moved keyframes are src's two OLDEST (sequence order)
+    kf_new = np.asarray(stats.kf_new)
+    assert (kf_new[:2] >= 0).all() and (kf_new[2:4] < 0).all()
 
 
 @pytest.mark.slow

@@ -57,7 +57,7 @@ def _run_bench_config(depth: int, h: int, w: int, nfeat: int,
         mapping=MappingConfig(lba_iters=6, lba_interval=2, cull_interval=2),
         loop_closing=True,
         place=PlaceConfig(vocab_min_keyframes=4, consistency=1, min_gap=8,
-                          loop_min_inliers=15, gba_after_loop=False),
+                          gba_after_loop=False),
         strict_slot_check=True,
     )
     system = SlamSystem(cfg)

@@ -483,3 +483,75 @@ def test_reassociate_merges_close_planes():
     assert bool(sg.pl_valid[0]) and not bool(sg.pl_valid[1])
     assert int(sg.ob_plane[0]) == 0
     assert float(sg.pl_npts[0]) == 600.0
+
+
+def test_plane_covis_bonus():
+    """Two keyframes sharing a plane get a covisibility bonus even with
+    zero shared map points (KeyFrame::UpdateConnections plane weighting,
+    KeyFrame.cc:486-523); undefined planes count at 0.2x."""
+    from visual_sgraphs_tpu.config import CapacityConfig
+    from visual_sgraphs_tpu.scenegraph.manager import plane_covis_bonus
+    from visual_sgraphs_tpu.scenegraph.state import WALL, empty_scenegraph
+
+    sg = empty_scenegraph(CapacityConfig(max_planes=8), max_obs=64)
+    # plane 0: semantic wall (enough votes), observed by KFs 0 and 3
+    # plane 1: undefined, observed by KFs 0 and 5
+    sg = sg._replace(
+        pl_valid=sg.pl_valid.at[0].set(True).at[1].set(True),
+        pl_votes=sg.pl_votes.at[0, WALL].set(5.0),
+        ob_kf=sg.ob_kf.at[0].set(0).at[1].set(3).at[2].set(0).at[3].set(5),
+        ob_plane=sg.ob_plane.at[0].set(0).at[1].set(0)
+        .at[2].set(1).at[3].set(1),
+        ob_valid=sg.ob_valid.at[:4].set(True),
+    )
+    bonus = np.asarray(plane_covis_bonus(
+        sg, jnp.asarray(0, jnp.int32), 8, min_votes=3.0, score=10.0,
+        undefined_factor=0.2,
+    ))
+    assert bonus[3] == 10.0        # shared semantic plane
+    assert abs(bonus[5] - 2.0) < 1e-6   # shared undefined plane (0.2x)
+    assert bonus[0] == 0.0         # self excluded
+    assert bonus[1] == 0.0 and bonus[7] == 0.0
+
+
+def test_refine_points_semantic_culls_behind_wall():
+    """Points behind a settled semantic wall (opposite side from the
+    camera, beyond the margin, within the plane's extent) are culled and
+    unlinked; points in front of / on the wall survive
+    (Optimizer.cc:1271-1336 semantic map-point refinement)."""
+    from visual_sgraphs_tpu.config import CapacityConfig, OrbConfig
+    from visual_sgraphs_tpu.core import lie as _lie
+    from visual_sgraphs_tpu.scenegraph.manager import refine_points_semantic
+    from visual_sgraphs_tpu.scenegraph.state import WALL, empty_scenegraph
+    from visual_sgraphs_tpu.slam.map_state import empty_map
+
+    m = empty_map(CapacityConfig(max_keyframes=4, max_points=64),
+                  OrbConfig(n_features=8))
+    # wall: plane z = 5 (normal -z, n.x + d = 0 -> [0,0,-1,5])
+    sg = empty_scenegraph(CapacityConfig(max_planes=4), max_obs=16)
+    sg = sg._replace(
+        pl_valid=sg.pl_valid.at[0].set(True),
+        pl_coeffs=sg.pl_coeffs.at[0].set(jnp.asarray([0, 0, -1.0, 5.0])),
+        pl_centroid=sg.pl_centroid.at[0].set(jnp.asarray([0, 0, 5.0])),
+        pl_votes=sg.pl_votes.at[0, WALL].set(5.0),
+    )
+    pts = jnp.asarray([
+        [0.0, 0.0, 3.0],   # in front of the wall       -> keep
+        [0.0, 0.0, 4.95],  # on the wall (within margin) -> keep
+        [0.0, 0.0, 6.0],   # BEHIND the wall             -> cull
+        [9.0, 0.0, 6.0],   # behind but outside extent   -> keep
+    ])
+    m = m._replace(
+        pt_pos=m.pt_pos.at[:4].set(pts),
+        pt_valid=m.pt_valid.at[:4].set(True),
+        kf_obs_pt=m.kf_obs_pt.at[0, :4].set(jnp.arange(4, dtype=jnp.int32)),
+        kf_valid=m.kf_valid.at[0].set(True),
+        n_kf=jnp.asarray(1, jnp.int32),
+    )
+    T_cw = _lie.se3_identity()  # camera at origin, z forward
+    m2 = refine_points_semantic(m, sg, T_cw, behind_thresh=0.15,
+                                lateral_radius=2.5)
+    valid = np.asarray(m2.pt_valid[:4])
+    assert valid.tolist() == [True, True, False, True]
+    assert int(m2.kf_obs_pt[0, 2]) == -1  # unlinked from the keyframe
+    assert int(m2.pt_freed_seq[2]) == 1  # quarantined for reuse

@@ -59,7 +59,7 @@ def main():
         mapping=MappingConfig(lba_iters=6, lba_interval=2, cull_interval=2),
         loop_closing=True,
         place=PlaceConfig(vocab_min_keyframes=4, consistency=1, min_gap=8,
-                          loop_min_inliers=15, gba_after_loop=False),
+                          gba_after_loop=False),
     )
     system = SlamSystem(cfg)
     system.scenegraph = SceneGraphManager(cfg.scenegraph, cfg.capacity)
@@ -99,11 +99,14 @@ def main():
     blocks = [round(float(np.sqrt(np.mean(e**2))), 3)
               for e in np.array_split(err, 8)]
     worst = np.argsort(err)[-8:][::-1]
-    refs = [r for _, _, r, _, _ in system.trajectory]
+    refs = [r[2] for r in system.trajectory]
     print(f"err med/p90/max = {q[0]:.3f}/{q[1]:.3f}/{q[2]:.3f} "
           f"rmse_by_8th={blocks} argmax={int(np.argmax(err))}")
     print("worst frames:",
           [(int(i), round(float(err[i]), 3), refs[i]) for i in worst])
+    if os.environ.get("REPRO_EVENTS"):
+        for _, k, pay in system.events.records:
+            print(" ", k, pay)
     print(
         f"depth={depth} ate={float(rmse):.4f} "
         f"ate_tracked={float(rmse_tr):.4f} "

@@ -119,6 +119,10 @@ class CapacityConfig:
 
     max_keyframes: int = 256
     max_points: int = 65536
+    # retirement-ledger capacity: culled/evicted keyframes whose
+    # trajectory rows re-base through a surviving parent (long streams
+    # retire far more keyframes than K)
+    max_retired: int = 4096
     max_planes: int = 64
     max_rooms: int = 16
     max_doors: int = 16
@@ -138,12 +142,28 @@ class SceneGraphConfig:
     plane_map_point_factor: bool = False
     plane_map_point_dist: float = 0.08  # membership distance (octree proxy)
     plane_map_point_info: float = 2.0
+    # semantic map-point refinement (Optimizer.cc:1271-1336 + Plane.cc:
+    # 81-140 octree membership): map points lying BEHIND a settled
+    # semantic plane (opposite side from the camera, beyond the margin,
+    # within the plane's lateral extent) are physically impossible
+    # (depth through a wall) and are culled at keyframe time
+    refine_map_points: bool = True
+    refine_behind_thresh: float = 0.15
+    refine_lateral_radius: float = 2.5
     room_factor: bool = True  # room-center-from-walls factors
     room_info: float = 1.0
     door_factor: bool = True  # door-room rigidity factors
     plane_assoc_ominus_thresh: float = 0.3
     plane_assoc_dist_thresh: float = 0.35
     plane_min_votes: float = 3.0
+    # plane-based covisibility (KeyFrame.cc:486-523, SystemParams.h:76-80):
+    # each shared plane adds ``plane_covis_score`` shared-point equivalents
+    # to a keyframe pair's covisibility weight before the local-BA window /
+    # essential-graph edges are selected; planes without a settled semantic
+    # class count at ``plane_covis_undefined_factor`` of that
+    plane_covis_enabled: bool = True
+    plane_covis_score: float = 10.0
+    plane_covis_undefined_factor: float = 0.2
     ransac_iters: int = 256
     ransac_dist_thresh: float = 0.04
     ransac_min_inliers: int = 300
@@ -167,6 +187,11 @@ class PlaceConfig:
     loop_score_ratio: float = 0.75  # vs best covisible score (minScore rule)
     consistency: int = 2  # consecutive-KF consistency before verification
     loop_min_inliers: int = 20
+    # guided re-match support required on top of the Sim3 inliers — the
+    # reference's double gate (OptimizeSim3 >= 20, then SearchByProjection
+    # >= 40, LoopClosing.cc:560-948); a weak Sim3 that passes the first
+    # gate on coincidental matches rarely survives the second
+    loop_min_guided: int = 40
     loop_inlier_thresh_3d: float = 0.12  # metric Sim3-RANSAC gate (m)
     essential_min_weight: int = 30
     essential_max_edges: int = 512

@@ -24,7 +24,7 @@ import json
 import jax
 import numpy as np
 
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 
 def _put_tree(arrays: dict, tag: str, tree) -> int:
@@ -40,6 +40,35 @@ def _get_tree(data, manifest_key_n: int, tag: str, template):
     leaves = [jnp.asarray(data[f"{tag}.{i}"]) for i in range(manifest_key_n)]
     _, treedef = jax.tree.flatten(template)
     return jax.tree.unflatten(treedef, leaves)
+
+
+# MapState field order of format v2 archives (before kf_seq / pt_first_seq
+# / the retirement ledger were added in v3)
+_V2_MAP_FIELDS = (
+    "kf_pose", "kf_valid", "kf_timestamp", "kf_uv", "kf_depth", "kf_level",
+    "kf_angle", "kf_desc", "kf_kp_valid", "kf_obs_pt", "pt_pos", "pt_valid",
+    "pt_desc", "pt_first_kf", "pt_visible", "pt_found", "n_kf", "n_pt",
+)
+
+
+def _get_map(data, n_leaves: int, tag: str, template, version: int):
+    """Load a MapState; v<=2 archives predate the slot-reuse fields and
+    are upgraded in place (append-only maps: slot index == sequence)."""
+    import jax.numpy as jnp
+
+    if version >= 3:
+        return _get_tree(data, n_leaves, tag, template)
+    leaves = [jnp.asarray(data[f"{tag}.{i}"]) for i in range(n_leaves)]
+    fields = dict(zip(_V2_MAP_FIELDS, leaves))
+    m = template._replace(**fields)
+    K = m.K
+    kf_seq = jnp.where(
+        fields["kf_valid"], jnp.arange(K, dtype=jnp.int32), -1
+    )
+    return m._replace(
+        kf_seq=kf_seq,
+        pt_first_seq=fields["pt_first_kf"].astype(jnp.int32),
+    )
 
 
 def _put_db(arrays: dict, manifest: dict, tag: str, db, vocab) -> None:
@@ -131,18 +160,21 @@ def save_checkpoint(path: str, system, scenegraph=None, loop_db=None):
 
     traj = system.trajectory
     if traj:
-        arrays["traj.ts"] = np.asarray([t for t, _, _, _, _ in traj])
+        arrays["traj.ts"] = np.asarray([r[0] for r in traj])
         arrays["traj.epoch"] = np.asarray(
-            [e for _, e, _, _, _ in traj], np.int32
+            [r[1] for r in traj], np.int32
         )
         arrays["traj.ref"] = np.asarray(
-            [r for _, _, r, _, _ in traj], np.int32
+            [r[2] for r in traj], np.int32
+        )
+        arrays["traj.seq"] = np.asarray(
+            [r[3] for r in traj], np.int32
         )
         arrays["traj.rel"] = np.stack(
-            [np.asarray(p) for _, _, _, p, _ in traj]
+            [np.asarray(r[4]) for r in traj]
         )
         arrays["traj.tracked"] = np.asarray(
-            [k for _, _, _, _, k in traj], bool
+            [r[5] for r in traj], bool
         )
     arrays["state.last_pose"] = np.asarray(system.last_pose)
     arrays["state.velocity"] = np.asarray(system.velocity)
@@ -189,7 +221,8 @@ def load_checkpoint(path: str, system, scenegraph=None, loop_closer=None):
         )
     data = np.load(_io.BytesIO(payload))
 
-    system.map = _get_tree(data, manifest["map_leaves"], "map", system.map)
+    system.map = _get_map(data, manifest["map_leaves"], "map", system.map,
+                          version)
 
     sg = scenegraph if scenegraph is not None else system.scenegraph
     if sg is not None and "sg_leaves" in manifest:
@@ -212,8 +245,8 @@ def load_checkpoint(path: str, system, scenegraph=None, loop_closer=None):
         from visual_sgraphs_tpu.slam.atlas import StashedMap
 
         for j, entry in enumerate(manifest["atlas_stashed"]):
-            m = _get_tree(data, entry["map_leaves"], f"stash{j}.map",
-                          system.map)
+            m = _get_map(data, entry["map_leaves"], f"stash{j}.map",
+                         system.map, version)
             db = vocab = None
             if entry.get("has_db"):
                 db, vocab = _get_db(data, manifest, f"stash{j}.db")
@@ -235,16 +268,18 @@ def load_checkpoint(path: str, system, scenegraph=None, loop_closer=None):
 
     if "traj.ts" in data:
         if "traj.epoch" in data:
+            seqs = (data["traj.seq"] if "traj.seq" in data
+                    else data["traj.ref"])  # v2: slot == seq (append-only)
             system.trajectory = [
-                (float(t), int(e), int(r), jnp.asarray(p), bool(k))
-                for t, e, r, p, k in zip(
+                (float(t), int(e), int(r), int(s), jnp.asarray(p), bool(k))
+                for t, e, r, s, p, k in zip(
                     data["traj.ts"], data["traj.epoch"], data["traj.ref"],
-                    data["traj.rel"], data["traj.tracked"],
+                    seqs, data["traj.rel"], data["traj.tracked"],
                 )
             ]
         else:  # legacy v1 layout: (ts, pose, tracked) triples
             system.trajectory = [
-                (float(t), 0, 0, jnp.asarray(p), bool(k))
+                (float(t), 0, 0, 0, jnp.asarray(p), bool(k))
                 for t, p, k in zip(
                     data["traj.ts"], data["traj.pose"], data["traj.tracked"]
                 )
@@ -268,4 +303,6 @@ def load_checkpoint(path: str, system, scenegraph=None, loop_closer=None):
 
     if int(system.map.n_kf) > 0:
         system.state = TrackState.OK
+    # the host's keyframe-slot allocation mirror must match the restored map
+    system._sync_kf_mirror()
     return manifest

@@ -222,7 +222,17 @@ def fast_scenegraph_ba(
     if config is None:
         config = SceneGraphConfig()
 
-    counts = covisibility_counts(m, kf_id)
+    counts = covisibility_counts(m, kf_id).astype(jnp.float32)
+    if config.plane_covis_enabled:
+        # plane-based covisibility weighting: shared planes boost the
+        # pair weight before the window is picked (KeyFrame.cc:486-523)
+        from visual_sgraphs_tpu.scenegraph.manager import plane_covis_bonus
+
+        counts = counts + plane_covis_bonus(
+            sg, kf_id, m.K, min_votes=config.plane_min_votes,
+            score=config.plane_covis_score,
+            undefined_factor=config.plane_covis_undefined_factor,
+        ) * jnp.where(m.kf_valid, 1.0, 0.0)
     top_counts, top_kfs = jax.lax.top_k(counts, n_window)
     kf_ids = jnp.concatenate([kf_id[None], top_kfs])
     kf_mask = jnp.concatenate([jnp.ones((1,), bool), top_counts > 0])

@@ -15,3 +15,6 @@ from visual_sgraphs_tpu.parallel.dist_ba import (  # noqa: F401
     sharded_ba,
     sharded_ba_grouped,
 )
+from visual_sgraphs_tpu.parallel.distributed import (  # noqa: F401
+    maybe_initialize_distributed,
+)

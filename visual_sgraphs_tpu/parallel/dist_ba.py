@@ -165,19 +165,9 @@ def _local_reduced_system(kf_pose, pt_shard, kf_tab, uvr_tab, val_tab,
     eye3 = jnp.eye(3, dtype=dtype)
     dx = jnp.clip(jnp.diagonal(Hxx, axis1=-2, axis2=-1), 1e-6, None)
     Hxx = Hxx + (lam * dx + 1e-5)[..., None] * eye3
-    L = jnp.linalg.cholesky(Hxx)  # (n, 3, 3)
-    C = jax.vmap(
-        lambda Li, Wi: jnp.moveaxis(
-            jax.scipy.linalg.solve_triangular(
-                # (3, O*6) stack of all W_aᵀ columns, solved in one call
-                Li, jnp.transpose(Wi, (2, 0, 1)).reshape(3, -1), lower=True
-            ).reshape(3, O, 6),
-            1, 0,
-        )
-    )(L, W)  # (n, O, 3, 6): C_a = L⁻¹ W_aᵀ
-    c = jax.vmap(
-        lambda Li, bi: jax.scipy.linalg.solve_triangular(Li, bi, lower=True)
-    )(L, bx)  # (n, 3)
+    Hinv = _inv3x3(Hxx)  # (n, 3, 3) closed-form adjugate inverse —
+    # batched tiny cholesky/triangular solves lower to serialized loops
+    # on TPU and dominated the whole iteration (~100 ms of ~140 ms)
 
     kf_safe = jnp.maximum(kf_tab, 0)  # (n, O)
     slot_ok = val_tab & (kf_tab >= 0)
@@ -190,33 +180,77 @@ def _local_reduced_system(kf_pose, pt_shard, kf_tab, uvr_tab, val_tab,
         & slot_ok[..., None]
     ).astype(dtype)  # (n, O, K)
 
+    HIGH = jax.lax.Precision.HIGHEST  # TPU matmuls default to bf16
+    # inputs; the Schur factors span ~8 orders of magnitude (W ~ 1e3,
+    # Hinv ~ 1e-5) and bf16 truncation stalls the GN convergence
     # diagonal H_pp blocks: S1[k] = Σ_{n, a->k} Hpp[n, a]
-    S1 = jnp.einsum("nak,naij->kij", E, Hpp)  # (K, 6, 6)
-    # pairwise Schur blocks: with Ce[n,k] = Σ_{a->k} C_a (3, 6),
-    # S2[k1,k2] = Σ_n Ce[n,k1]ᵀ Ce[n,k2]
-    Ce = jnp.einsum("nak,nair->nkir", E, C)  # (n, K, 3, 6)
-    S2 = jnp.einsum("nkir,nmis->krms", Ce, Ce)  # (K, 6, K, 6)
-    S = -S2
+    S1 = jnp.einsum("nak,naij->kij", E, Hpp, precision=HIGH)  # (K, 6, 6)
+    # pairwise Schur blocks via two assembled factors:
+    #   S2[(k,r),(m,s)] = Σ_{n,i} X[(n,i),(k,r)] · Y[(n,i),(m,s)]
+    # with X from (W Hinv) and Y from W — ONE (3n, 6K)ᵀ(3n, 6K) matmul on
+    # the MXU.  (A per-landmark Ce (n, K, 3, 6) intermediate materializes
+    # O(n·K) memory — 1.2 GB at N=32k/K=128.)
+    WH = jnp.einsum("nari,nij->narj", W, Hinv,
+                    precision=HIGH)  # (n, O, 6, 3)
+
+    def _factor(M):
+        # (n, O, 6, 3) -> X[(n,i),(k,r)] = Σ_{a->k} M[n,a,r,i]
+        M18 = jnp.transpose(M, (0, 1, 3, 2)).reshape(n, O, 18)  # [i*6+r]
+        A = jnp.einsum("nak,nat->ntk", E, M18,
+                       precision=HIGH)  # (n, 18, K)
+        return jnp.transpose(
+            A.reshape(n, 3, 6, K), (0, 1, 3, 2)
+        ).reshape(n * 3, K * 6)
+
+    Xf = _factor(WH)
+    Yf = _factor(W)
+    S2 = jax.lax.dot_general(
+        Xf, Yf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=HIGH,
+    )  # (6K, 6K)
+    S = -0.5 * (S2 + S2.T)  # symmetric by construction; enforce exactly
     kk = jnp.arange(K)
-    S = S.at[kk, :, kk, :].add(S1)
-    # rhs[k] = Σ_{a->k} (−gp + C_aᵀ c)
-    Cc = jnp.einsum("nair,ni->nar", C, c)  # (n, O, 6)
-    rhs = jnp.einsum("nak,nar->kr", E, Cc - gp)
-    return S.reshape(6 * K, 6 * K), rhs.reshape(6 * K), L, c, C, cost
+    S = S.reshape(K, 6, K, 6).at[kk, :, kk, :].add(S1)
+    # rhs[k] = Σ_{a->k} (−gp_a + W_a Hinv bx)
+    hb = jnp.einsum("nij,nj->ni", Hinv, bx, precision=HIGH)  # (n, 3)
+    Wb = jnp.einsum("nari,ni->nar", W, hb, precision=HIGH)  # (n, O, 6)
+    rhs = jnp.einsum("nak,nar->kr", E, Wb - gp, precision=HIGH)
+    return S.reshape(6 * K, 6 * K), rhs.reshape(6 * K), Hinv, bx, W, cost
 
 
-def _back_substitute(L, c, C, kf_tab, val_tab, dxr6):
-    """Per-landmark update given the reduced solve: dx_n = −L⁻ᵀ(c + Σ_a
-    C_a dxi_{kf_a})."""
+def _inv3x3(M):
+    """Closed-form batched 3x3 inverse (adjugate / determinant)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C_ = b * f - c * e
+    D = f * g - d * i
+    E_ = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I_ = a * e - b * d
+    det = a * A + b * D + c * G
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    adj = jnp.stack([
+        jnp.stack([A, B, C_], axis=-1),
+        jnp.stack([D, E_, F], axis=-1),
+        jnp.stack([G, H, I_], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None]
+
+
+def _back_substitute(Hinv, bx, W, kf_tab, val_tab, dxr6):
+    """Per-landmark update given the reduced solve:
+    dx_n = −Hxx⁻¹ (bx + Σ_a W_aᵀ dxi_{kf_a})."""
     kf_safe = jnp.maximum(kf_tab, 0)
     slot_ok = val_tab & (kf_tab >= 0)
     dpose = dxr6[kf_safe] * slot_ok[..., None]  # (n, O, 6)
-    y = c + jnp.einsum("nair,nar->ni", C, dpose)
-    dxe = -jax.vmap(
-        lambda Li, yi: jax.scipy.linalg.solve_triangular(
-            Li.T, yi, lower=False
-        )
-    )(L, y)
+    y = bx + jnp.einsum("nari,nar->ni", W, dpose)
+    dxe = -jnp.einsum("nij,nj->ni", Hinv, y)
     return jnp.where(jnp.isfinite(dxe), dxe, 0.0)
 
 
@@ -241,7 +275,7 @@ def sharded_ba_grouped(
     def step_body(kf_pose, pt_shard, kf_tab, uvr_tab, val_tab, valid_pt):
         def one_iter(carry, _):
             pose, pts = carry
-            S, rhs, L, c, C, cost = _local_reduced_system(
+            S, rhs, Hinv, bx_l, W_l, cost = _local_reduced_system(
                 pose, pts, kf_tab, uvr_tab, val_tab, cam_K,
                 jnp.asarray(bf, pts.dtype), jnp.asarray(lam, pts.dtype),
                 huber,
@@ -265,7 +299,7 @@ def sharded_ba_grouped(
             )
             new_pose = jax.vmap(lie.se3_normalize)(new_pose)
             # local landmark back-substitution
-            dxe = _back_substitute(L, c, C, kf_tab, val_tab, dxr6)
+            dxe = _back_substitute(Hinv, bx_l, W_l, kf_tab, val_tab, dxr6)
             new_pts = pts + jnp.where(valid_pt[:, None], dxe, 0.0)
             return (new_pose, new_pts), cost
 

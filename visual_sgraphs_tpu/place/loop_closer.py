@@ -42,6 +42,7 @@ from visual_sgraphs_tpu.slam.map_state import (
 @partial(jax.jit, static_argnames=("fix_scale",))
 def _loop_geometry(m: MapState, cur: jax.Array, cand: jax.Array,
                    key: jax.Array, inlier_thresh: float,
+                   cam_K: jax.Array,
                    fix_scale: bool = False):
     """Geometric loop verification between two keyframes.
 
@@ -73,23 +74,26 @@ def _loop_geometry(m: MapState, cur: jax.Array, cand: jax.Array,
     res = refine_sim3(res.S_ab, p_a, p_b, ok,
                       inlier_thresh=inlier_thresh, fix_scale=fix_scale)
     # ... then guided re-matching under the refined Sim3: every point of
-    # ``cur`` transformed into ``cand``'s frame must find a spatial +
-    # descriptor neighbour (the SearchByProjection verification pass,
-    # LoopClosing.cc:560-948) — the accept count is the guided count, not
-    # the raw RANSAC vote
+    # ``cur`` transformed into ``cand``'s CAMERA and PROJECTED must land
+    # within a few pixels of a descriptor-compatible keypoint of ``cand``
+    # (the reference's SearchByProjection verification pass,
+    # LoopClosing.cc:560-948, which works in image space — an image-space
+    # gate is far more discriminating against perceptual aliasing than a
+    # 3D-radius test: a symmetric scene can align wrong walls in 3D, but
+    # their projections don't line up with the observed keypoints)
+    from visual_sgraphs_tpu.core import cameras as _cams
+
     va_all = m.kf_kp_valid[cur] & (obs_a >= 0) & m.pt_valid[pt_a]
-    p_a_all = lie.sim3_apply(
+    p_a_cam = lie.sim3_apply(
         res.S_ab, lie.se3_apply(m.kf_pose[cur], m.pt_pos[pt_a])
-    )  # (F, 3) in cand frame
-    pt_b_all = jnp.maximum(obs_b, 0)
-    vb_all = m.kf_kp_valid[cand] & (obs_b >= 0) & m.pt_valid[pt_b_all]
-    p_b_all = lie.se3_apply(m.kf_pose[cand], m.pt_pos[pt_b_all])
-    d2 = jnp.sum(
-        (p_a_all[:, None, :] - p_b_all[None, :, :]) ** 2, axis=-1
-    )
-    near = (d2 < (2.0 * inlier_thresh) ** 2) & va_all[:, None] & \
-        vb_all[None, :]
-    # descriptor agreement among spatial neighbours (popcount hamming)
+    )  # (F, 3) in cand camera frame
+    uv_proj = _cams.project_pinhole(cam_K, p_a_cam)  # (F, 2)
+    in_front = p_a_cam[:, 2] > 0.05
+    uv_b = m.kf_uv[cand]  # (F, 2) cand keypoints
+    vb_kp = m.kf_kp_valid[cand]
+    d2 = jnp.sum((uv_proj[:, None, :] - uv_b[None, :, :]) ** 2, axis=-1)
+    near = (d2 < 8.0 ** 2) & (va_all & in_front)[:, None] & vb_kp[None, :]
+    # descriptor agreement among reprojection neighbours (popcount)
     xor = jnp.bitwise_xor(desc_a[:, None, :], desc_b[None, :, :])
     hd = jnp.sum(jax.lax.population_count(xor).astype(jnp.int32), axis=-1)
     guided = near & (hd <= 64)
@@ -123,10 +127,11 @@ def _reloc_attempt(m: MapState, frame: FrameObs, cand: jax.Array,
 @jax.jit
 def _exclusion_mask(m: MapState, kf: jax.Array, min_gap: int = 10):
     """Covisible-or-recent keyframes barred from candidacy
-    (DetectNBestCandidates excludes the connected set)."""
+    (DetectNBestCandidates excludes the connected set).  Recency is
+    measured in insertion SEQUENCE, not slot index — slots are reused
+    after culling/eviction."""
     covis = covisibility_counts(m, kf) > 0
-    slots = jnp.arange(m.K)
-    recent = jnp.abs(slots - kf) < min_gap
+    recent = jnp.abs(m.kf_seq - m.kf_seq[kf]) < min_gap
     return covis | recent | ~m.kf_valid, covis
 
 
@@ -274,12 +279,19 @@ class LoopCloser:
         fix_scale = not system.cfg.sensor_is_monocular()
         S, _, _ = _loop_geometry(
             m, kf, kf, key, self.cfg.loop_inlier_thresh_3d,
-            fix_scale=fix_scale,
+            system.cam_K, fix_scale=fix_scale,
         )
         _loop_drift(m.kf_pose, kf, kf, S)
+        sgm = getattr(system, "scenegraph", None)
+        sg_cfg = system.cfg.scenegraph
         edges = pgo.build_covis_edges(
             m, min_weight=self.cfg.essential_min_weight,
             max_edges=self.cfg.essential_max_edges,
+            sg=(sgm.state if (sgm is not None
+                              and sg_cfg.plane_covis_enabled) else None),
+            plane_score=sg_cfg.plane_covis_score,
+            plane_min_votes=sg_cfg.plane_min_votes,
+            plane_undefined_factor=sg_cfg.plane_covis_undefined_factor,
         )
         fixed = jnp.zeros((m.K,), bool).at[0].set(True)
         S_id = jnp.asarray([1, 0, 0, 0, 0, 0, 0, 1], jnp.float32)
@@ -453,6 +465,12 @@ class LoopCloser:
             ):
                 best = int(cid)
                 break
+        system.events.emit(
+            "loop_query", kf=kf_host, best=best,
+            cands=[int(c) for c in cand_ids],
+            scores=[round(float(s), 3) for s in cand_scores],
+            ref=round(ref_score, 3),
+        )
         if best < 0:
             self._consistent_count = 0
             self._consistent_cand = -1
@@ -481,18 +499,32 @@ class LoopCloser:
         with system.timers.stage("loop_verify"):
             S_cand_cur, n_inl, n_guided = _loop_geometry(
                 m, kf, jnp.asarray(best, jnp.int32), key,
-                self.cfg.loop_inlier_thresh_3d, fix_scale=fix_scale,
+                self.cfg.loop_inlier_thresh_3d, system.cam_K,
+                fix_scale=fix_scale,
             )
             n_inl_host, n_guided_host = int(n_inl), int(n_guided)
         # double acceptance: optimized-Sim3 inliers AND guided re-match
         # support (the reference's OptimizeSim3 >= 20 then
         # SearchByProjection >= 40 double gate, LoopClosing.cc:560-948)
         if n_inl_host < self.cfg.loop_min_inliers or \
-                n_guided_host < self.cfg.loop_min_inliers:
+                n_guided_host < self.cfg.loop_min_guided:
+            self._consistent_count = 0
+            self._consistent_cand = -1
+            system.events.emit(
+                "loop_rejected", kf=kf_host, cand=best,
+                n_inl=n_inl_host, n_guided=n_guided_host,
+            )
             return False
         # skip the correction when the loop constraint is already satisfied
         # (post-correction revisits verify at near-identity Sim3)
         drift = _loop_drift(m.kf_pose, kf, jnp.asarray(best), S_cand_cur)
+        system.events.emit(
+            "loop_verified", kf=kf_host, cand=best, n_inl=n_inl_host,
+            n_guided=n_guided_host, drift=round(float(drift), 4),
+            S=np.asarray(S_cand_cur).round(4).tolist(),
+            ts_kf=float(m.kf_timestamp[kf]),
+            ts_cand=float(m.kf_timestamp[best]),
+        )
         if float(drift) < self.cfg.loop_min_correction:
             self._kf_since_loop = 0  # treat as closed: consistent already
             self._consistent_count = 0
@@ -501,9 +533,17 @@ class LoopCloser:
 
         # ---- correct: essential graph + point propagation (CorrectLoop)
         with system.timers.stage("loop_correct"):
+            sgm0 = getattr(system, "scenegraph", None)
+            sg_cfg = system.cfg.scenegraph
             edges = pgo.build_covis_edges(
                 m, min_weight=self.cfg.essential_min_weight,
                 max_edges=self.cfg.essential_max_edges,
+                sg=(sgm0.state if (sgm0 is not None
+                                   and sg_cfg.plane_covis_enabled)
+                    else None),
+                plane_score=sg_cfg.plane_covis_score,
+                plane_min_votes=sg_cfg.plane_min_votes,
+                plane_undefined_factor=sg_cfg.plane_covis_undefined_factor,
             )
             fixed = jnp.zeros((m.K,), bool).at[best].set(True)
             inertial = (getattr(system, "imu", None) is not None

@@ -39,28 +39,66 @@ class EssentialEdges(NamedTuple):
 
 @partial(jax.jit, static_argnames=("max_edges",))
 def build_covis_edges(m: MapState, min_weight: int = 30,
-                      max_edges: int = 512) -> EssentialEdges:
+                      max_edges: int = 512,
+                      sg=None, plane_score: float = 10.0,
+                      plane_min_votes: float = 3.0,
+                      plane_undefined_factor: float = 0.2
+                      ) -> EssentialEdges:
     """Mine the essential-graph edge set: covisibility pairs above
     ``min_weight`` shared points (Optimizer.cc:2559 uses weight>=100 for
     covisibility edges) plus consecutive-keyframe links standing in for the
     spanning tree.  One one-hot matmul yields the full covisibility matrix;
     top-k over the upper triangle keeps the strongest ``max_edges`` pairs.
+
+    ``sg``: optional scene-graph state — shared planes add
+    ``plane_score`` per plane to each pair's weight before thresholding,
+    the reference's plane-based covisibility (KeyFrame.cc:486-523) carried
+    into the essential graph.
     """
     K, N = m.K, m.N
     obs = jnp.where(m.kf_kp_valid & m.kf_valid[:, None], m.kf_obs_pt, -1)
     member = jnp.zeros((K, N + 1), jnp.float32).at[
         jnp.arange(K)[:, None], obs + 1
     ].set(1.0)[:, 1:]  # (K, N) one-hot membership
+    # culled-point slots must not bridge unrelated keyframes (slot reuse)
+    member = member * m.pt_valid.astype(jnp.float32)[None, :]
     covis = jax.lax.dot_general(
         member, member, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (K, K) shared-point counts
+    if sg is not None:
+        from visual_sgraphs_tpu.scenegraph.manager import plane_semantics
+
+        sem = plane_semantics(sg, plane_min_votes)
+        P = sg.pl_coeffs.shape[0]
+        ob_ok = sg.ob_valid & (sg.ob_plane >= 0) & (sg.ob_kf >= 0) & \
+            (sg.ob_kf < K)
+        pmem = jnp.zeros((K, P), jnp.int32).at[
+            jnp.clip(sg.ob_kf, 0, K - 1), jnp.maximum(sg.ob_plane, 0)
+        ].max(ob_ok.astype(jnp.int32)).astype(jnp.float32)
+        w = jnp.where(sem != -1, plane_score,
+                      plane_score * plane_undefined_factor)
+        w = jnp.where(sg.pl_valid, w, 0.0)
+        covis = covis + jax.lax.dot_general(
+            pmem * w[None, :], pmem, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     i_idx = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
     upper = j_idx > i_idx
-    consecutive = (j_idx == i_idx + 1) & m.kf_valid[None, :] & \
-        m.kf_valid[:, None]
+    # temporal-predecessor edges (spanning-tree stand-in) keyed on the
+    # insertion SEQUENCE — slot index no longer encodes age once slots
+    # are reused: pred[j] = valid KF with the largest seq below seq[j]
+    seq = jnp.where(m.kf_valid, m.kf_seq, -1)
+    cand = jnp.where(
+        (seq[:, None] < seq[None, :]) & (seq[:, None] >= 0),
+        seq[:, None], -1,
+    )  # (K, K): candidate predecessor seq of column j
+    pred = jnp.argmax(cand, axis=0)  # (K,) slot of j's predecessor
+    has_pred = (jnp.max(cand, axis=0) >= 0) & (seq >= 0)
+    consecutive = (i_idx == pred[None, :]) & has_pred[None, :] & \
+        m.kf_valid[None, :] & m.kf_valid[:, None]
     strong = upper & (covis >= min_weight)
     # consecutive edges get a large pseudo-weight so top-k always keeps them
     score = jnp.where(strong, covis, 0.0) + jnp.where(consecutive, 1e6, 0.0)

@@ -404,6 +404,76 @@ def detect_rooms(sg: SceneGraphState, min_votes: float = 3.0,
 
 
 @jax.jit
+def refine_points_semantic(m, sg: SceneGraphState, T_cw: jax.Array,
+                           min_votes: float = 3.0,
+                           behind_thresh: float = 0.15,
+                           lateral_radius: float = 2.5):
+    """Cull map points lying BEHIND a settled semantic plane — the
+    reference's semantic map-point refinement inside PoseOptimization
+    (Optimizer.cc:1271-1336), which deletes points whose position falls
+    through a wall/ground the segmenter has confirmed (membership via the
+    plane's octree, Plane.cc:81-140; here: signed side test vs the camera
+    center + lateral distance to the plane centroid as the extent proxy).
+
+    Depth sensors produce such points at depth discontinuities and around
+    reflective surfaces; they corrupt both tracking and BA.  Runs at
+    keyframe rate (the TPU pipeline mutates the map per keyframe, not per
+    frame).  Returns the updated map."""
+    import jax.numpy as jnp
+
+    sem = plane_semantics(sg, min_votes)
+    planes_ok = sg.pl_valid & (sem != UNDEFINED)
+    n = sg.pl_coeffs[:, :3]  # (P, 3)
+    d = sg.pl_coeffs[:, 3]  # (P,)
+    C = lie.se3_inverse(T_cw)[4:7]  # camera center in world
+    side_cam = n @ C + d  # (P,) camera side of each plane
+    sd = m.pt_pos @ n.T + d[None, :]  # (N, P) signed point distances
+    lat2 = jnp.sum(
+        (m.pt_pos[:, None, :] - sg.pl_centroid[None, :, :]) ** 2, axis=-1
+    )
+    behind = (
+        (sd * side_cam[None, :] < 0)
+        & (jnp.abs(sd) > behind_thresh)
+        & (lat2 < lateral_radius ** 2)
+        & planes_ok[None, :]
+    )
+    bad = m.pt_valid & jnp.any(behind, axis=1)
+    obs = m.kf_obs_pt
+    linked_bad = (obs >= 0) & bad[jnp.maximum(obs, 0)]
+    return m._replace(
+        pt_valid=m.pt_valid & ~bad,
+        pt_freed_seq=jnp.where(bad, m.n_kf, m.pt_freed_seq),
+        kf_obs_pt=jnp.where(linked_bad, -1, obs),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def plane_covis_bonus(sg: SceneGraphState, kf_id: jax.Array, K: int,
+                      min_votes: float = 3.0, score: float = 10.0,
+                      undefined_factor: float = 0.2) -> jax.Array:
+    """(K,) covisibility-weight bonus from planes shared with ``kf_id``
+    (KeyFrame::UpdateConnections' plane-based weighting, KeyFrame.cc:
+    486-523): every plane observed by both keyframes adds ``score``
+    shared-point equivalents (``score * undefined_factor`` while its
+    semantic class is unsettled), so structurally-related keyframes enter
+    each other's local-BA windows even with few shared map points."""
+    sem = plane_semantics(sg, min_votes)  # (P,)
+    P = sg.pl_coeffs.shape[0]
+    ob_ok = sg.ob_valid & (sg.ob_plane >= 0) & (sg.ob_kf >= 0) & \
+        (sg.ob_kf < K)
+    member = jnp.zeros((K, P), jnp.int32).at[
+        jnp.clip(sg.ob_kf, 0, K - 1), jnp.maximum(sg.ob_plane, 0)
+    ].max(ob_ok.astype(jnp.int32)) > 0  # (K, P)
+    mine = member[kf_id]  # (P,)
+    w = jnp.where(sem != UNDEFINED, score, score * undefined_factor)
+    w = jnp.where(sg.pl_valid, w, 0.0)
+    bonus = jnp.sum(
+        (member & mine[None, :]).astype(w.dtype) * w[None, :], axis=1
+    )
+    return bonus.at[kf_id].set(0.0)
+
+
+@jax.jit
 def filter_semantic_planes(sg: SceneGraphState, min_votes: float = 3.0,
                            max_tilt_wall: float = 0.25,
                            max_tilt_ground: float = 0.25,
@@ -602,6 +672,13 @@ class SceneGraphManager:
             )
             self.state = reassociate_planes(
                 self.state, min_votes=self.cfg.plane_min_votes,
+            )
+        if self.cfg.refine_map_points:
+            system.map = refine_points_semantic(
+                system.map, self.state, T_cw,
+                min_votes=self.cfg.plane_min_votes,
+                behind_thresh=self.cfg.refine_behind_thresh,
+                lateral_radius=self.cfg.refine_lateral_radius,
             )
         self.state = detect_rooms(
             self.state, min_votes=self.cfg.plane_min_votes

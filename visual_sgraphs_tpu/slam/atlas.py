@@ -26,6 +26,7 @@ from visual_sgraphs_tpu.slam.map_state import MapState
 class MergeStats(NamedTuple):
     n_kf_moved: jax.Array
     n_pt_moved: jax.Array
+    kf_new: jax.Array  # (K,) dst slot per src keyframe slot, -1 dropped
 
 
 @jax.jit
@@ -61,21 +62,28 @@ def merge_maps(
     src = transform_map(src, T_dst_src)
     K, N = dst.K, dst.N
 
-    # --- allocate KF slots (dropped rows get slot==K and fall off through
-    # the scatters' mode="drop": routing them to slot 0 would race the real
-    # slot-0 write — XLA scatter order with duplicate indices is undefined)
+    # --- allocate KF slots from dst's FREE slots, in src-seq order so the
+    # merged sequence numbering preserves the young map's temporal order.
+    # Dropped rows get slot==K and fall off through the scatters'
+    # mode="drop": routing them to slot 0 would race the real slot-0 write
+    # (XLA scatter order with duplicate indices is undefined).
     kf_take = src.kf_valid
-    kf_order = jnp.cumsum(kf_take.astype(jnp.int32)) - 1
-    kf_new = jnp.where(kf_take, dst.n_kf + kf_order, -1)
-    kf_new = jnp.where(kf_new < K, kf_new, -1)
+    seq_key = jnp.where(kf_take, src.kf_seq, jnp.int32(2**30))
+    order_idx = jnp.argsort(seq_key)  # src slots by seq, taken first
+    rank = jnp.zeros((K,), jnp.int32).at[order_idx].set(
+        jnp.arange(K, dtype=jnp.int32)
+    )
+    (kf_free,) = jnp.nonzero(~dst.kf_valid, size=K, fill_value=-1)
+    kf_new = jnp.where(kf_take, kf_free[jnp.minimum(rank, K - 1)], -1)
     kf_ok = kf_new >= 0
     kf_slot = jnp.where(kf_ok, kf_new, K)
+    kf_seq_new = jnp.where(kf_ok, dst.n_kf + rank, -1)
 
-    # --- allocate point slots
+    # --- allocate point slots from dst's free list
     pt_take = src.pt_valid
     pt_order = jnp.cumsum(pt_take.astype(jnp.int32)) - 1
-    pt_new = jnp.where(pt_take, dst.n_pt + pt_order, -1)
-    pt_new = jnp.where(pt_new < N, pt_new, -1)
+    (pt_free,) = jnp.nonzero(~dst.pt_valid, size=N, fill_value=-1)
+    pt_new = jnp.where(pt_take, pt_free[jnp.minimum(pt_order, N - 1)], -1)
     pt_ok = pt_new >= 0
     pt_slot = jnp.where(pt_ok, pt_new, N)
 
@@ -102,6 +110,7 @@ def merge_maps(
         kf_kp_valid=scatter_rows(dst.kf_kp_valid, src.kf_kp_valid,
                                  kf_ok, kf_slot),
         kf_obs_pt=scatter_rows(dst.kf_obs_pt, obs_remap, kf_ok, kf_slot),
+        kf_seq=dst.kf_seq.at[kf_slot].set(kf_seq_new, mode="drop"),
         pt_pos=scatter_rows(dst.pt_pos, src.pt_pos, pt_ok, pt_slot),
         pt_valid=dst.pt_valid.at[pt_slot].set(True, mode="drop"),
         pt_desc=scatter_rows(dst.pt_desc, src.pt_desc, pt_ok, pt_slot),
@@ -112,19 +121,25 @@ def merge_maps(
             ),
             mode="drop",
         ),
+        # points' creation seq re-expressed in the merged namespace (their
+        # creating keyframe's new seq; dropped-KF points read as new)
+        pt_first_seq=dst.pt_first_seq.at[pt_slot].set(
+            jnp.where(
+                remap_kf(kf_new, src.pt_first_kf) >= 0,
+                remap_kf(kf_seq_new, src.pt_first_kf), dst.n_kf,
+            ),
+            mode="drop",
+        ),
         pt_visible=scatter_rows(dst.pt_visible, src.pt_visible,
                                 pt_ok, pt_slot),
         pt_found=scatter_rows(dst.pt_found, src.pt_found, pt_ok, pt_slot),
-        n_kf=jnp.minimum(
-            dst.n_kf + jnp.sum(kf_take.astype(jnp.int32)), K
-        ).astype(jnp.int32),
-        n_pt=jnp.minimum(
-            dst.n_pt + jnp.sum(pt_take.astype(jnp.int32)), N
-        ).astype(jnp.int32),
+        n_kf=dst.n_kf + jnp.sum(kf_take.astype(jnp.int32)),
+        n_pt=dst.n_pt + jnp.sum(pt_take.astype(jnp.int32)),
     )
     stats = MergeStats(
         n_kf_moved=jnp.sum(kf_ok.astype(jnp.int32)),
         n_pt_moved=jnp.sum(pt_ok.astype(jnp.int32)),
+        kf_new=kf_new,
     )
     return new, stats
 

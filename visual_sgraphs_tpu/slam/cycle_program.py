@@ -67,7 +67,8 @@ def make_cycle_program(
 
     def cycle(m, sg, db, vocab,
               frames_prev, results_prev, packeds_prev, T_rels_prev,
-              insert_kf, i_kf, ref_old, depths_prev, sem_img, conf_img, key,
+              insert_kf, i_kf, kf_slot, ref_old, depths_prev,
+              sem_img, conf_img, key,
               grays, depths, tss, velocity, cam_K, cam_bf, min_inliers,
               do_lba, do_cull, do_maint):
         # fold the previous batch's per-frame found/visible statistics
@@ -91,7 +92,7 @@ def make_cycle_program(
         def run_kf(operand):
             mm, ss, dd = operand
             return kf_prog(
-                mm, ss, dd, vocab, frame_i, pose_kf, slot_i,
+                mm, ss, dd, vocab, frame_i, pose_kf, slot_i, kf_slot,
                 no_slots, no_vis, depths_prev[i_kf], sem_img, conf_img,
                 key, cam_K, cam_bf, do_lba, do_cull, do_maint,
             )
@@ -102,7 +103,9 @@ def make_cycle_program(
                     jnp.zeros((2 * top_n + 3,), jnp.float32),
                     jnp.stack([ref_old.astype(jnp.float32),
                                mm.n_kf.astype(jnp.float32),
-                               mm.n_pt.astype(jnp.float32)]))
+                               mm.n_pt.astype(jnp.float32),
+                               jnp.asarray(-1.0, jnp.float32),
+                               jnp.asarray(0.0, jnp.float32)]))
 
         m, sg, db, kf, packed_det, board = jax.lax.cond(
             insert_kf, run_kf, skip_kf, (m, sg, db)

@@ -45,18 +45,21 @@ def make_kf_program(
 
     sg_on = sg_cfg is not None
 
-    def program(m, sg, db, vocab, frame, pose, slot_pt,
+    def program(m, sg, db, vocab, frame, pose, slot_pt, kf_slot,
                 stats_slots, stats_vis, depth_img, sem_img, conf_img,
                 key, cam_K, cam_bf, do_lba, do_cull, do_maint):
         """``do_lba``/``do_cull``/``do_maint`` are traced booleans: one
         compiled program serves every cadence combination.  ``sem_img`` /
         ``conf_img`` are always full-size; frames without semantics pass
         all-UNDEFINED / all-ones images (identical numerics to the old
-        None path, see detect_planes_from_depth)."""
+        None path, see detect_planes_from_depth).  ``kf_slot`` is the
+        HOST-chosen insertion slot (SlamSystem._host_alloc_kf_slot)."""
         m = mapping.apply_found_stats(m, stats_slots, stats_vis)
-        m, kf = mapping.insert_keyframe(m, frame, pose, slot_pt, cam_K)
+        m, kf, evicted = mapping.insert_keyframe(
+            m, frame, pose, slot_pt, cam_K, slot=kf_slot
+        )
         m = mapping.fuse_observations(m, kf, cam_K)
-        m = jax.lax.cond(
+        m, culled = jax.lax.cond(
             do_cull,
             lambda mm: mapping.cull_keyframes(
                 mapping.cull_points(
@@ -65,7 +68,7 @@ def make_kf_program(
                 ),
                 kf, cull_kf_redundancy,
             ),
-            lambda mm: mm,
+            lambda mm: (mm, jnp.asarray(-1, jnp.int32)),
             m,
         )
 
@@ -77,6 +80,14 @@ def make_kf_program(
                 filter_semantic_planes,
                 reassociate_planes,
             )
+
+            # observations anchored on a retired keyframe slot must not
+            # survive slot reuse (their Gij/locals belong to the old KF)
+            retired = jnp.where(
+                evicted, kf, jnp.asarray(-1, jnp.int32)
+            )
+            dead = (sg.ob_kf == retired) | (sg.ob_kf == culled)
+            sg = sg._replace(ob_valid=sg.ob_valid & ~dead)
 
             det = detect_planes_from_depth(
                 depth_img, sem_img,
@@ -103,6 +114,18 @@ def make_kf_program(
                 sg,
             )
             sg = detect_rooms(sg, min_votes=sg_cfg.plane_min_votes)
+
+            if sg_cfg.refine_map_points:
+                from visual_sgraphs_tpu.scenegraph.manager import (
+                    refine_points_semantic,
+                )
+
+                m = refine_points_semantic(
+                    m, sg, m.kf_pose[kf],
+                    min_votes=sg_cfg.plane_min_votes,
+                    behind_thresh=sg_cfg.refine_behind_thresh,
+                    lateral_radius=sg_cfg.refine_lateral_radius,
+                )
 
             from visual_sgraphs_tpu.optim.fast_ba import fast_scenegraph_ba
 
@@ -138,15 +161,19 @@ def make_kf_program(
             db, packed = _detect_program(
                 m, db, vocab, kf, min_gap, top_n, extra=extra,
             )
-        # host/device slot agreement board: the host mirrors the inserted
-        # slot as min(n_kf_host, K-1); a divergence would silently corrupt
-        # trajectory refs and loop resolution, so the device slot plus the
-        # post-insert counters ride every keyframe's readback for a cheap
-        # equality check at the next resolve (VERDICT r3 Weak #3)
+        # host/device slot agreement board: the host mirrors the device's
+        # allocation rule (first-free / oldest-eviction); a divergence
+        # would silently corrupt trajectory refs and loop resolution, so
+        # the device slot, post-insert counters, the culled slot (the host
+        # folds it into its validity mirror) and the eviction flag ride
+        # every keyframe's readback for a cheap check at the next resolve
+        # (VERDICT r3 Weak #3)
         board = jnp.stack([
             kf.astype(jnp.float32),
             m.n_kf.astype(jnp.float32),
             m.n_pt.astype(jnp.float32),
+            culled.astype(jnp.float32),
+            evicted.astype(jnp.float32),
         ])
         return m, sg, db, kf, packed, board
 

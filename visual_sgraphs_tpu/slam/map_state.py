@@ -36,14 +36,35 @@ class MapState(NamedTuple):
     kf_desc: jax.Array  # (K, F, 32) uint8
     kf_kp_valid: jax.Array  # (K, F)
     kf_obs_pt: jax.Array  # (K, F) int32 map-point id or -1
+    # monotone insertion sequence per slot (-1 invalid).  Slots are REUSED
+    # after culling/eviction, so slot index no longer encodes age; every
+    # temporal-order heuristic (loop min_gap, essential-graph consecutive
+    # edges, trajectory references) keys on kf_seq instead.
+    kf_seq: jax.Array  # (K,) int32
     # --- map points (N = max_points) ---
     pt_pos: jax.Array  # (N, 3) world
     pt_valid: jax.Array  # (N,)
     pt_desc: jax.Array  # (N, 32) uint8 representative descriptor
-    pt_first_kf: jax.Array  # (N,) creating keyframe
+    pt_first_kf: jax.Array  # (N,) creating keyframe SLOT (re-pointed to
+    # the parent when that keyframe retires — used by loop correction)
+    pt_first_seq: jax.Array  # (N,) creating keyframe SEQUENCE (age)
+    # n_kf at the moment the slot was culled: freed ids are QUARANTINED
+    # for a few keyframes before reuse, because in-flight pipeline match
+    # tables (dispatched against the pre-cull map) may still reference
+    # them — immediate reuse would silently relink those observations to
+    # an unrelated new point
+    pt_freed_seq: jax.Array  # (N,)
     pt_visible: jax.Array  # (N,) times predicted visible (culling stats)
     pt_found: jax.Array  # (N,) times actually matched
-    # --- counters (device scalars) ---
+    # --- retirement ledger: culled/evicted keyframes' relative pose to a
+    # surviving parent, so old trajectory rows re-base through the chain
+    # exactly like the reference's Trel*mTcp parent walk in
+    # SaveTrajectoryTUM (System.cc) ---
+    led_seq: jax.Array  # (E,) retired keyframe's sequence number
+    led_parent_seq: jax.Array  # (E,) surviving parent's sequence number
+    led_T_cp: jax.Array  # (E, 7) T_retired_cw . T_parent_cw^-1 at retire
+    led_n: jax.Array  # () ledger length
+    # --- counters (device scalars; monotone creation counts) ---
     n_kf: jax.Array  # ()
     n_pt: jax.Array  # ()
 
@@ -59,10 +80,15 @@ class MapState(NamedTuple):
     def N(self) -> int:
         return self.pt_pos.shape[0]
 
+    @property
+    def E(self) -> int:
+        return self.led_seq.shape[0]
+
 
 def empty_map(cap: CapacityConfig = CapacityConfig(),
               orb: OrbConfig = OrbConfig()) -> MapState:
     K, F, N = cap.max_keyframes, orb.n_features, cap.max_points
+    E = cap.max_retired
     f32, i32 = jnp.float32, jnp.int32
     return MapState(
         kf_pose=jnp.zeros((K, 7), f32).at[:, 0].set(1.0),
@@ -75,12 +101,19 @@ def empty_map(cap: CapacityConfig = CapacityConfig(),
         kf_desc=jnp.zeros((K, F, 32), jnp.uint8),
         kf_kp_valid=jnp.zeros((K, F), bool),
         kf_obs_pt=jnp.full((K, F), -1, i32),
+        kf_seq=jnp.full((K,), -1, i32),
         pt_pos=jnp.zeros((N, 3), f32),
         pt_valid=jnp.zeros((N,), bool),
         pt_desc=jnp.zeros((N, 32), jnp.uint8),
         pt_first_kf=jnp.full((N,), -1, i32),
+        pt_first_seq=jnp.full((N,), -1, i32),
+        pt_freed_seq=jnp.full((N,), -(10**6), i32),
         pt_visible=jnp.zeros((N,), i32),
         pt_found=jnp.zeros((N,), i32),
+        led_seq=jnp.full((E,), -1, i32),
+        led_parent_seq=jnp.full((E,), -1, i32),
+        led_T_cp=jnp.zeros((E, 7), f32).at[:, 0].set(1.0),
+        led_n=jnp.zeros((), i32),
         n_kf=jnp.zeros((), i32),
         n_pt=jnp.zeros((), i32),
     )
@@ -107,6 +140,11 @@ def covisibility_counts(m: MapState, kf_id: jax.Array) -> jax.Array:
         jnp.where(m.kf_kp_valid[kf_id], obs_k, -1) + 1
     ].set(True)
     member = member.at[0].set(False)
+    # culled points no longer create covisibility (their kf_obs_pt links
+    # are unlinked lazily; a reused slot must not bridge unrelated KFs)
+    member = member & jnp.concatenate(
+        [jnp.zeros((1,), bool), m.pt_valid]
+    )
     shared = member[
         jnp.where(m.kf_kp_valid, m.kf_obs_pt, -1) + 1
     ]  # (K, F)

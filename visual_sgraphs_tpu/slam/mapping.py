@@ -42,6 +42,46 @@ CHI2_MONO = 5.991
 # ---------------------------------------------------------------------------
 
 
+def retire_keyframe(m: MapState, slot: jax.Array,
+                    do: jax.Array) -> MapState:
+    """Retire keyframe ``slot`` (cull or capacity eviction), masked by
+    ``do``: invalidate the slot, append (seq, parent_seq, T_cp) to the
+    retirement ledger so old trajectory rows can re-base through the
+    surviving parent — the reference re-bases culled keyframes' relative
+    trajectory entries through the spanning-tree parent the same way
+    (System::SaveTrajectoryTUM's ``Trel = Trel*pKF->mTcp`` walk) — and
+    re-point pt_first_kf at the parent (loop correction moves those points
+    with the parent afterwards, LoopClosing.cc:1010-1035)."""
+    K = m.K
+    seq_s = m.kf_seq[slot]
+    cand = m.kf_valid & (jnp.arange(K) != slot)
+    dist = jnp.where(cand, jnp.abs(m.kf_seq - seq_s), jnp.int32(2**30))
+    parent = jnp.argmin(dist)
+    T_cp = lie.se3_normalize(lie.se3_multiply(
+        m.kf_pose[slot], lie.se3_inverse(m.kf_pose[parent])
+    ))
+    e = jnp.minimum(m.led_n, m.E - 1)
+    return m._replace(
+        kf_valid=m.kf_valid.at[slot].set(
+            jnp.where(do, False, m.kf_valid[slot])
+        ),
+        pt_first_kf=jnp.where(
+            do & (m.pt_first_kf == slot),
+            parent.astype(m.pt_first_kf.dtype), m.pt_first_kf,
+        ),
+        led_seq=m.led_seq.at[e].set(
+            jnp.where(do, seq_s, m.led_seq[e])
+        ),
+        led_parent_seq=m.led_parent_seq.at[e].set(
+            jnp.where(do, m.kf_seq[parent], m.led_parent_seq[e])
+        ),
+        led_T_cp=m.led_T_cp.at[e].set(
+            jnp.where(do, T_cp, m.led_T_cp[e])
+        ),
+        led_n=jnp.minimum(m.led_n + do.astype(jnp.int32), m.E),
+    )
+
+
 @jax.jit
 def insert_keyframe(
     m: MapState,
@@ -49,15 +89,33 @@ def insert_keyframe(
     pose: jax.Array,
     slot_pt: jax.Array,
     cam_K: jax.Array,
-) -> tuple[MapState, jax.Array]:
-    """Write the frame into keyframe slot ``n_kf``; seed new map points from
-    keypoints with valid depth that didn't match an existing point
+    slot: jax.Array = None,
+) -> tuple[MapState, jax.Array, jax.Array]:
+    """Write the frame into keyframe slot ``slot``; seed new map points
+    from keypoints with valid depth that didn't match an existing point
     (CreateNewKeyFrame's close-point seeding, Tracking.cc:3318-3394).
 
-    Returns (new_map, kf_id).
+    Slot ALLOCATION is the host's job (SlamSystem._host_alloc_kf_slot:
+    first slot its validity mirror shows free, else evict the oldest) —
+    passing the slot as an operand makes host/device agreement structural
+    instead of two copies of one allocation rule racing against in-flight
+    cull boards.  If the chosen slot is still valid on device (capacity
+    eviction, or the host's mirror is behind), the occupant retires
+    through the ledger first — no more silent overwrite (round-3's
+    slot-K−1 bug).  ``slot=None`` falls back to the device-side first-free
+    rule (standalone/test use).
+
+    Returns (new_map, kf_slot, evicted: bool scalar).
     """
-    k = jnp.minimum(m.n_kf, m.K - 1)
-    F = m.F
+    K, F = m.K, m.F
+    if slot is None:
+        free = ~m.kf_valid
+        k = jnp.where(jnp.any(free), jnp.argmax(free),
+                      jnp.minimum(m.n_kf, K - 1))
+    else:
+        k = jnp.asarray(slot, jnp.int32)
+    evicted = m.kf_valid[k]
+    m = retire_keyframe(m, k, evicted)
 
     # backproject unmatched keypoints with depth into world points
     T_wc = lie.se3_inverse(pose)
@@ -65,10 +123,13 @@ def insert_keyframe(
     p_cam = rays * frame.depth[:, None]
     p_world = lie.se3_apply(T_wc, p_cam)
     new_mask = frame.valid & (frame.depth > 0) & (slot_pt < 0)
-    # allocate point ids sequentially from n_pt (capacity clamped)
+    # allocate point ids from the free list; freshly culled ids stay
+    # quarantined for 3 keyframes so in-flight pipeline match tables can't
+    # be relinked to an unrelated reused point
+    allocatable = ~m.pt_valid & (m.n_kf - m.pt_freed_seq >= 3)
+    (free_ids,) = jnp.nonzero(allocatable, size=F, fill_value=-1)
     order = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
-    new_ids = jnp.where(new_mask, m.n_pt + order, -1)
-    new_ids = jnp.where(new_ids < m.N, new_ids, -1)
+    new_ids = jnp.where(new_mask, free_ids[jnp.minimum(order, F - 1)], -1)
     alloc = new_ids >= 0
     safe_ids = jnp.maximum(new_ids, 0)
 
@@ -84,6 +145,9 @@ def insert_keyframe(
     pt_first = m.pt_first_kf.at[safe_ids].set(
         jnp.where(alloc, k, m.pt_first_kf[safe_ids])
     )
+    pt_first_seq = m.pt_first_seq.at[safe_ids].set(
+        jnp.where(alloc, m.n_kf, m.pt_first_seq[safe_ids])
+    )
     obs_pt = jnp.where(alloc, new_ids, slot_pt)
 
     new_m = m._replace(
@@ -97,18 +161,23 @@ def insert_keyframe(
         kf_desc=m.kf_desc.at[k].set(frame.desc),
         kf_kp_valid=m.kf_kp_valid.at[k].set(frame.valid),
         kf_obs_pt=m.kf_obs_pt.at[k].set(obs_pt),
+        kf_seq=m.kf_seq.at[k].set(m.n_kf),
         pt_pos=pt_pos,
         pt_valid=pt_valid,
         pt_desc=pt_desc,
         pt_first_kf=pt_first,
-        pt_visible=m.pt_visible.at[safe_ids].add(alloc.astype(jnp.int32)),
-        pt_found=m.pt_found.at[safe_ids].add(alloc.astype(jnp.int32)),
+        pt_first_seq=pt_first_seq,
+        # reused point slots must not inherit the culled point's stats
+        pt_visible=m.pt_visible.at[safe_ids].set(
+            jnp.where(alloc, 1, m.pt_visible[safe_ids])
+        ),
+        pt_found=m.pt_found.at[safe_ids].set(
+            jnp.where(alloc, 1, m.pt_found[safe_ids])
+        ),
         n_kf=m.n_kf + 1,
-        n_pt=jnp.minimum(
-            m.n_pt + jnp.sum(new_mask.astype(jnp.int32)), m.N
-        ).astype(jnp.int32),
+        n_pt=m.n_pt + jnp.sum(alloc.astype(jnp.int32)),
     )
-    return new_m, k
+    return new_m, k, evicted
 
 
 @jax.jit
@@ -162,13 +231,13 @@ def insert_and_maintain(
     separate dispatch costs a ~23 ms tunnel round trip, so the chain must
     not be split."""
     m = apply_found_stats(m, stats_slots, stats_vis)
-    m, kf = insert_keyframe(m, frame, pose, slot_pt, cam_K)
+    m, kf, _ = insert_keyframe(m, frame, pose, slot_pt, cam_K)
     if do_fuse:
         m = fuse_observations(m, kf, cam_K)
     if do_cull:
         m = cull_points(m, min_obs=cull_min_obs,
                         min_found_ratio=cull_min_found_ratio)
-        m = cull_keyframes(m, kf, cull_kf_redundancy)
+        m, _ = cull_keyframes(m, kf, cull_kf_redundancy)
     if do_ba:
         m, _ = local_ba(m, kf, cam_K, cam_bf, n_window=n_window,
                         iters=lba_iters)
@@ -222,9 +291,11 @@ def create_points_mono(m: MapState, kf_id: jax.Array,
     )
     p_world = lie.se3_apply(lie.se3_inverse(T_c), p_c)
 
+    F = m.F
+    allocatable = ~m.pt_valid & (m.n_kf - m.pt_freed_seq >= 3)
+    (free_ids,) = jnp.nonzero(allocatable, size=F, fill_value=-1)
     order = jnp.cumsum(good.astype(jnp.int32)) - 1
-    new_ids = jnp.where(good, m.n_pt + order, -1)
-    new_ids = jnp.where(new_ids < m.N, new_ids, -1)
+    new_ids = jnp.where(good, free_ids[jnp.minimum(order, F - 1)], -1)
     alloc = new_ids >= 0
     safe = jnp.maximum(new_ids, 0)
 
@@ -239,14 +310,21 @@ def create_points_mono(m: MapState, kf_id: jax.Array,
         pt_first_kf=m.pt_first_kf.at[safe].set(
             jnp.where(alloc, kf_id, m.pt_first_kf[safe])
         ),
+        pt_first_seq=m.pt_first_seq.at[safe].set(
+            jnp.where(alloc, m.kf_seq[kf_id], m.pt_first_seq[safe])
+        ),
+        pt_visible=m.pt_visible.at[safe].set(
+            jnp.where(alloc, 1, m.pt_visible[safe])
+        ),
+        pt_found=m.pt_found.at[safe].set(
+            jnp.where(alloc, 1, m.pt_found[safe])
+        ),
         kf_obs_pt=m.kf_obs_pt.at[kf_id].set(
             jnp.where(alloc, new_ids, m.kf_obs_pt[kf_id])
         ).at[nb, slot_n].set(
             jnp.where(alloc, new_ids, m.kf_obs_pt[nb, slot_n]), mode="drop"
         ),
-        n_pt=jnp.minimum(
-            m.n_pt + jnp.sum(good.astype(jnp.int32)), m.N
-        ).astype(jnp.int32),
+        n_pt=m.n_pt + jnp.sum(alloc.astype(jnp.int32)),
     )
 
 
@@ -526,10 +604,13 @@ def global_ba(
 
 @jax.jit
 def cull_keyframes(m: MapState, kf_id: jax.Array,
-                   redundancy: float = 0.9) -> MapState:
+                   redundancy: float = 0.9
+                   ) -> tuple[MapState, jax.Array]:
     """Drop local keyframes ≥90% of whose points are seen by ≥3 other
     keyframes (KeyFrameCulling, LocalMapping.cc:898).  Checks the covisible
     neighbours of ``kf_id``; keyframe 0 and the newest keyframe survive.
+    The dropped keyframe retires through the ledger (slot becomes
+    reusable); returns (map, dropped_slot or -1).
 
     One batched pass: per-point observation counts once, then per-candidate
     redundancy ratios as a masked gather — no per-KF loop.
@@ -552,10 +633,8 @@ def cull_keyframes(m: MapState, kf_id: jax.Array,
     # a loop with fresh counts each time; one-at-a-time keeps counts honest)
     first_drop = jnp.argmax(drop)
     do = jnp.any(drop)
-    kf_valid = m.kf_valid.at[first_drop].set(
-        jnp.where(do, False, m.kf_valid[first_drop])
-    )
-    return m._replace(kf_valid=kf_valid)
+    m = retire_keyframe(m, first_drop, do)
+    return m, jnp.where(do, first_drop, -1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("min_obs", "min_found_ratio"))
@@ -569,7 +648,7 @@ def cull_points(m: MapState, min_obs: int = 2,
     ratio test additionally arms only after a few visibility chances so a
     fresh point isn't judged on one frame."""
     nobs = point_obs_count(m)
-    age = m.n_kf - m.pt_first_kf  # keyframes since creation
+    age = m.n_kf - m.pt_first_seq  # keyframes since creation (seq-based)
     ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(
         m.pt_visible.astype(jnp.float32), 1.0
     )
@@ -583,5 +662,6 @@ def cull_points(m: MapState, min_obs: int = 2,
     linked_bad = (obs >= 0) & bad[jnp.maximum(obs, 0)]
     return m._replace(
         pt_valid=pt_valid,
+        pt_freed_seq=jnp.where(bad, m.n_kf, m.pt_freed_seq),
         kf_obs_pt=jnp.where(linked_bad, -1, obs),
     )

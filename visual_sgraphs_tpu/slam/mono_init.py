@@ -135,8 +135,10 @@ def try_initialize(system, frame) -> bool:
     depth_like = jnp.where(good, p1[:, 2], -1.0)  # points in frame-0 camera
     init_with_depth = init._replace(depth=depth_like)
     slot_pt0 = jnp.full((F,), -1, jnp.int32)
-    system.map, kf0 = mapping.insert_keyframe(
-        system.map, init_with_depth, lie.se3_identity(), slot_pt0, K
+    kf0_host = system._host_alloc_kf_slot()
+    system.map, kf0, _ = mapping.insert_keyframe(
+        system.map, init_with_depth, lie.se3_identity(), slot_pt0, K,
+        slot=jnp.asarray(kf0_host, jnp.int32),
     )
     # KF1 observes the same points through the match table
     obs_sorted = jnp.where(
@@ -146,15 +148,16 @@ def try_initialize(system, frame) -> bool:
         jnp.where(good, match, F - 1)
     ].max(jnp.where(good, obs_sorted, -1))
     frame_no_depth = frame._replace(depth=jnp.full((F,), -1.0))
-    system.map, kf1 = mapping.insert_keyframe(
-        system.map, frame_no_depth, T_21, slot_pt1, K
+    kf1_host = system._host_alloc_kf_slot()
+    system.map, kf1, _ = mapping.insert_keyframe(
+        system.map, frame_no_depth, T_21, slot_pt1, K,
+        slot=jnp.asarray(kf1_host, jnp.int32),
     )
     system.map, _ = mapping.local_ba(
         system.map, kf1, K, None, n_window=4, iters=10
     )
     system.ref_kf = kf1
-    system.ref_kf_host = min(system.n_kf_host + 1, system.map.K - 1)
-    system.n_kf_host += 2
+    system.ref_kf_host = kf1_host
     system.last_pose = system.map.kf_pose[kf1]
     system.frames_since_kf = 0
     system.last_kf_inliers = n_good

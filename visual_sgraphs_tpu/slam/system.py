@@ -47,6 +47,33 @@ def _prefetch(arr) -> None:
         pass
 
 
+# numpy SE3 helpers for export-time trajectory recomposition (vectorized,
+# host-side — no device chatter at export)
+def _np_qmul(q, p):
+    qw, qx, qy, qz = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    pw, px, py, pz = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
+    return np.stack([
+        qw * pw - qx * px - qy * py - qz * pz,
+        qw * px + qx * pw + qy * pz - qz * py,
+        qw * py - qx * pz + qy * pw + qz * px,
+        qw * pz + qx * py - qy * px + qz * pw,
+    ], axis=-1)
+
+
+def _np_qrot(q, v):
+    u = q[..., 1:4]
+    w = q[..., 0:1]
+    uv = np.cross(u, v)
+    return v + 2.0 * (w * uv + np.cross(u, uv))
+
+
+def _np_se3_mul(A, B):
+    q = _np_qmul(A[..., :4], B[..., :4])
+    t = _np_qrot(A[..., :4], B[..., 4:7]) + A[..., 4:7]
+    q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    return np.concatenate([q, t], axis=-1)
+
+
 # jitted host-loop helpers (eager composite ops pay a per-primitive compile
 # round-trip on the remote TPU compiler — one fused program each instead)
 _predict_pose = jax.jit(
@@ -87,6 +114,14 @@ class SlamSystem:
         # ~25 ms tunnel round trip, so the hot loop never does it
         self.ref_kf_host = 0
         self.n_kf_host = 0
+        # host-side keyframe allocation state: the host CHOOSES each
+        # insert's slot from this mirror and passes it to the device as an
+        # operand (structural agreement instead of racing allocation
+        # rules); device-side culls flow back through the slot board and
+        # only delay a slot's reuse by one cycle
+        K = config.capacity.max_keyframes
+        self._kf_valid_mirror = np.zeros(K, bool)
+        self._kf_seq_mirror = np.full(K, -1, np.int64)
         self.frames_since_kf = 0
         self.last_kf_inliers = 1
         self.peak_inliers = 1
@@ -223,6 +258,7 @@ class SlamSystem:
         self._pending = {
             "ts": ts, "frame": frame, "res": res, "T_rel": T_rel,
             "packed": packed, "ref_host": self.ref_kf_host,
+            "ref_seq": self._ref_seq(self.ref_kf_host),
             "epoch": self.epoch,
         }
         if prev is not None:
@@ -342,7 +378,8 @@ class SlamSystem:
         self.last_pose = pose
         self.events.emit("batch_retrack", frame=i, n_inliers=n_inl)
         T_rel = _velocity_of(pose, self.map.kf_pose[self.ref_kf])
-        return n_inl, self.ref_kf_host, T_rel
+        return (n_inl, self.ref_kf_host,
+                self._ref_seq(self.ref_kf_host), T_rel)
 
     def _insert_kf_from_batch(self, pb, i: int, n_inl: int, ts: float):
         """Insert the batch's frame ``i`` as a keyframe NOW (outside the
@@ -389,6 +426,7 @@ class SlamSystem:
             "packeds": packeds, "depths": depths,
             "tss": [ts for _, _, ts in buf],
             "epoch": self.epoch, "ref_host": self.ref_kf_host,
+            "ref_seq": self._ref_seq(self.ref_kf_host),
         }
 
     def _dispatch_cycle(self, buf, prev, kf_choice) -> None:
@@ -411,8 +449,10 @@ class SlamSystem:
         sem_img = conf_img = None
         loop_on = (lc is not None
                    and lc.ensure_ready(self))
+        kf_slot = 0
         if insert_kf:
             i_kf, n_inl, kf_ts = kf_choice
+            kf_slot = self._host_alloc_kf_slot()
             self._kf_counter += 1
             do_lba = (self._kf_counter % mc.lba_interval) == 0 \
                 and mc.fast_ba
@@ -474,6 +514,7 @@ class SlamSystem:
                 prev["T_rels"],
                 jnp.asarray(insert_kf),
                 jnp.asarray(i_kf, jnp.int32),
+                jnp.asarray(kf_slot, jnp.int32),
                 jnp.asarray(prev["ref_host"], jnp.int32),
                 prev["depths"],
                 sem_in, conf_in,
@@ -493,8 +534,7 @@ class SlamSystem:
         expected_kf = expected_n_kf = None
         merged = False
         if insert_kf:
-            kf_host = min(self.n_kf_host, self.map.K - 1)
-            self.n_kf_host += 1
+            kf_host = kf_slot  # allocated before dispatch
             expected_kf, expected_n_kf = kf_host, self.n_kf_host
             self.events.emit("keyframe", kf=kf_host, n_inliers=n_inl)
             self.ref_kf = kf
@@ -526,6 +566,7 @@ class SlamSystem:
             "packeds": packeds, "depths": depths,
             "tss": [ts for _, _, ts in buf],
             "epoch": self.epoch, "ref_host": self.ref_kf_host,
+            "ref_seq": self._ref_seq(self.ref_kf_host),
             "board": board, "expected_kf": expected_kf,
             "expected_n_kf": expected_n_kf,
         }
@@ -540,14 +581,55 @@ class SlamSystem:
         finally:
             self._in_batch_resolve = False
 
+    def _host_alloc_kf_slot(self) -> int:
+        """Choose the next keyframe slot from the host mirror (first free
+        slot; else evict the oldest non-anchor) and commit the mirror
+        update.  The device inserts at exactly this slot."""
+        free = np.flatnonzero(~self._kf_valid_mirror)
+        if free.size:
+            slot = int(free[0])
+        else:
+            seqs = self._kf_seq_mirror.copy()
+            seqs[0] = np.iinfo(np.int64).max  # slot 0 = gauge anchor
+            if self.ref_kf_host < len(seqs):
+                seqs[self.ref_kf_host] = np.iinfo(np.int64).max
+            slot = int(np.argmin(seqs))
+            self.events.emit(
+                "capacity_evict", slot=slot,
+                seq=int(self._kf_seq_mirror[slot]),
+            )
+        self._kf_valid_mirror[slot] = True
+        self._kf_seq_mirror[slot] = self.n_kf_host
+        self.n_kf_host += 1
+        return slot
+
+    def _sync_kf_mirror(self) -> None:
+        """Re-sync the host keyframe mirror from the device map (after an
+        Atlas merge / map swap / reset — rare, one readback each)."""
+        self._kf_valid_mirror = np.asarray(self.map.kf_valid).copy()
+        self._kf_seq_mirror = np.asarray(self.map.kf_seq).astype(np.int64)
+
+    def _ref_seq(self, slot: int) -> int:
+        if 0 <= slot < len(self._kf_seq_mirror):
+            return int(self._kf_seq_mirror[slot])
+        return -1
+
     def _verify_slot_board(self, expected_kf, expected_n_kf, board) -> None:
-        """Check the device-computed keyframe slot against the host mirror
-        (VERDICT r3 Weak #3): a divergence silently corrupts trajectory
-        refs, DB queueing and loop resolution.  The board was prefetched
+        """Check the device's echoed keyframe slot against the host's
+        chosen one (VERDICT r3 Weak #3) and fold the device-side cull
+        decision into the validity mirror.  The board was prefetched
         alongside the batch scalars, so this costs no extra round trip."""
-        if expected_kf is None or board is None:
+        if board is None:
             return
         bd = np.asarray(board)
+        if bd.shape[0] >= 4:
+            culled = int(bd[3])
+            if culled >= 0:
+                # a device cull frees the slot for future host allocation
+                self._kf_valid_mirror[culled] = False
+                self.events.emit("kf_culled", slot=culled)
+        if expected_kf is None:
+            return
         dev_kf, dev_n_kf = int(bd[0]), int(bd[1])
         if dev_kf == expected_kf and dev_n_kf == expected_n_kf:
             return
@@ -609,6 +691,7 @@ class SlamSystem:
             n_inl = int(pk[i, 1])
             accepted = bool(acc_np[i])
             traj_ref = pb["ref_host"]
+            traj_seq = pb["ref_seq"]
             traj_rel = pb["T_rels"][i]
             if not accepted and not self.cfg.localization_only:
                 # mid-batch failure recovery: the scan could only retry
@@ -626,11 +709,12 @@ class SlamSystem:
                     kf_choice = None
                 rec = self._retrack_from_batch(pb, i)
                 if rec is not None:
-                    n_inl, traj_ref, traj_rel = rec
+                    n_inl, traj_ref, traj_seq, traj_rel = rec
                     accepted = True
                     self._batch_chain_broken = True
             self.trajectory.append((
-                pb["tss"][i], pb["epoch"], traj_ref, traj_rel, accepted,
+                pb["tss"][i], pb["epoch"], traj_ref, traj_seq,
+                traj_rel, accepted,
             ))
             if accepted:
                 self.state = TrackState.OK
@@ -692,7 +776,7 @@ class SlamSystem:
                         for j in range(i + 1, B):
                             self.trajectory.append((
                                 pb["tss"][j], pb["epoch"], pb["ref_host"],
-                                pb["T_rels"][j], False,
+                                pb["ref_seq"], pb["T_rels"][j], False,
                             ))
                         self._new_map()
                         return None
@@ -736,7 +820,8 @@ class SlamSystem:
             n_inl = int(np.asarray(p["packed"])[1])
         accepted = n_inl >= t.min_inliers_ok
         self.trajectory.append(
-            (p["ts"], p["epoch"], p["ref_host"], p["T_rel"], accepted)
+            (p["ts"], p["epoch"], p["ref_host"], p["ref_seq"],
+             p["T_rel"], accepted)
         )
         if accepted:
             self.state = TrackState.OK
@@ -796,17 +881,20 @@ class SlamSystem:
         p, self._pending = self._pending, None
         if p is not None:
             self.trajectory.append(
-                (p["ts"], p["epoch"], p["ref_host"], p["T_rel"], False)
+                (p["ts"], p["epoch"], p["ref_host"], p["ref_seq"],
+                 p["T_rel"], False)
             )
         pb, self._pending_batch = self._pending_batch, None
         if pb is not None:
             for i, ts in enumerate(pb["tss"]):
                 self.trajectory.append(
-                    (ts, pb["epoch"], pb["ref_host"], pb["T_rels"][i], False)
+                    (ts, pb["epoch"], pb["ref_host"], pb["ref_seq"],
+                     pb["T_rels"][i], False)
                 )
         for g, d, ts in self._batch_buf:
             self.trajectory.append(
                 (ts, self.epoch, self.ref_kf_host,
+                 self._ref_seq(self.ref_kf_host),
                  jnp.asarray(lie.se3_identity()), False)
             )
         self._batch_buf = []
@@ -867,6 +955,7 @@ class SlamSystem:
             # has long finished; no sync on the hot path)
             prev_board, self._serial_board = self._serial_board, None
             self._verify_slot_board(*prev_board)
+        kf_slot = self._host_alloc_kf_slot()
 
         lc = self.loop_closer
         loop_on = False
@@ -937,7 +1026,8 @@ class SlamSystem:
                 self.map, sg_state,
                 lc.db if (lc and loop_on) else None,
                 lc.vocab if (lc and loop_on) else None,
-                frame, res.pose, res.slot_pt, stats_slots, stats_vis,
+                frame, res.pose, res.slot_pt,
+                jnp.asarray(kf_slot, jnp.int32), stats_slots, stats_vis,
                 depth_img, sem_in, conf_in,
                 sub, self.cam_K, self.cam_bf,
                 jnp.asarray(do_lba and mc.fast_ba), jnp.asarray(do_cull),
@@ -946,8 +1036,7 @@ class SlamSystem:
         self.map = new_map
         if sg_on:
             self.scenegraph.state = new_sg
-        kf_host = min(self.n_kf_host, self.map.K - 1)
-        self.n_kf_host += 1
+        kf_host = kf_slot
         _prefetch(board)
         self._serial_board = (kf_host, self.n_kf_host, board)
         self.events.emit("keyframe", kf=kf_host, n_inliers=n_inl)
@@ -1125,6 +1214,8 @@ class SlamSystem:
         self.ref_kf = jnp.asarray(0, jnp.int32)
         self.ref_kf_host = 0
         self.n_kf_host = 0
+        self._kf_valid_mirror[:] = False
+        self._kf_seq_mirror[:] = -1
         self.lost_frames = 0
         self.peak_inliers = 1
 
@@ -1168,6 +1259,7 @@ class SlamSystem:
             self.ref_kf = jnp.asarray(int(ref_kf), jnp.int32)
             self.ref_kf_host = int(ref_kf)
             self.n_kf_host = int(self.map.n_kf)
+            self._sync_kf_mirror()
             self.velocity = lie.se3_identity()
             return True
         return False
@@ -1202,14 +1294,9 @@ class SlamSystem:
                 jnp.asarray(T_cw_young),
             ))
             young_epoch = self.epoch
-            kf_new_alloc = jnp.cumsum(
-                self.map.kf_valid.astype(jnp.int32)
-            ) - 1 + m_old.n_kf
-            kf_new = jnp.where(
-                self.map.kf_valid & (kf_new_alloc < m_old.K),
-                kf_new_alloc, -1,
-            )
+            young_map = self.map
             merged, stats = atlas_mod.merge_maps(m_old, self.map, A)
+            kf_new = stats.kf_new  # (K,) young slot -> merged slot
             self.events.emit(
                 "atlas_merge", n_kf_moved=stats.n_kf_moved,
                 n_pt_moved=stats.n_pt_moved,
@@ -1244,21 +1331,49 @@ class SlamSystem:
                     n_obs=sg_stats.n_obs_moved,
                 )
             del self.atlas.stashed[i]
-            # remap this epoch's trajectory refs into the merged map
+            # remap this epoch's trajectory refs into the merged map:
+            # rows referencing a RETIRED young keyframe first re-base
+            # through the young map's ledger (its seq namespace dies with
+            # the merge), then all refs remap through the slot allocation
             kf_new_np = np.asarray(kf_new)
-            self.trajectory = [
-                (ts, epoch_old, int(kf_new_np[ref]), rel, tr)
-                if (ep == young_epoch and 0 <= ref < len(kf_new_np)
-                    and kf_new_np[ref] >= 0)
-                else (ts, ep, ref, rel, tr)
-                for (ts, ep, ref, rel, tr) in self.trajectory
-            ]
+            merged_seq = np.asarray(merged.kf_seq).astype(np.int64)
+            alive, ledger = self._ledger_tables(young_map)
+            memo: dict = {}
+            new_rows = []
+            for row in self.trajectory:
+                ts, ep, ref, seq, rel, tr = row
+                if ep != young_epoch:
+                    new_rows.append(row)
+                    continue
+                slot, T_acc = -1, None
+                if seq in alive:
+                    slot = alive[seq]
+                else:
+                    res = self._resolve_retired(seq, alive, ledger, memo) \
+                        if seq >= 0 else None
+                    if res is not None:
+                        slot, T_acc = res
+                if not (0 <= slot < len(kf_new_np)) or \
+                        kf_new_np[slot] < 0:
+                    new_rows.append((ts, ep, ref, seq, rel, False))
+                    continue
+                if T_acc is not None:
+                    rel = jnp.asarray(_np_se3_mul(
+                        np.asarray(rel, np.float64), T_acc
+                    ).astype(np.float32))
+                new_slot = int(kf_new_np[slot])
+                new_rows.append((
+                    ts, epoch_old, new_slot,
+                    int(merged_seq[new_slot]), rel, tr,
+                ))
+            self.trajectory = new_rows
             self.map = merged
             self.epoch = epoch_old
             new_ref = int(kf_new_np[int(kf)])
             self.ref_kf = jnp.asarray(max(new_ref, 0), jnp.int32)
             self.ref_kf_host = max(new_ref, 0)
             self.n_kf_host = int(self.map.n_kf)
+            self._sync_kf_mirror()
             self.last_pose = self.map.kf_pose[self.ref_kf]
             if self.loop_closer is not None:
                 # rebuild the database over the merged map with the old
@@ -1284,11 +1399,11 @@ class SlamSystem:
             # origin keyframe; all depth-valid keypoints become map points
             pose = lie.se3_identity()
             slot_pt = jnp.full((frame.uv.shape[0],), -1, jnp.int32)
-            self.map, kf = mapping.insert_keyframe(
-                self.map, frame, pose, slot_pt, self.cam_K
+            kf_host = self._host_alloc_kf_slot()
+            self.map, kf, _ = mapping.insert_keyframe(
+                self.map, frame, pose, slot_pt, self.cam_K,
+                slot=jnp.asarray(kf_host, jnp.int32),
             )
-            kf_host = min(self.n_kf_host, self.map.K - 1)
-            self.n_kf_host += 1
             n_pts = int(self.map.n_pt)
             if n_pts >= 100:
                 self.ref_kf = kf
@@ -1332,11 +1447,11 @@ class SlamSystem:
 
     def _insert_keyframe(self, frame: FrameObs, res: tracking.TrackResult,
                          n_inl: int = 0):
-        self.map, kf = mapping.insert_keyframe(
-            self.map, frame, res.pose, res.slot_pt, self.cam_K
+        kf_host = self._host_alloc_kf_slot()
+        self.map, kf, _ = mapping.insert_keyframe(
+            self.map, frame, res.pose, res.slot_pt, self.cam_K,
+            slot=jnp.asarray(kf_host, jnp.int32),
         )
-        kf_host = min(self.n_kf_host, self.map.K - 1)
-        self.n_kf_host += 1
         if self.cfg.sensor in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR):
             self.map = mapping.create_points_mono(self.map, kf, self.cam_K)
         self.map = mapping.fuse_observations(self.map, kf, self.cam_K)
@@ -1387,7 +1502,7 @@ class SlamSystem:
             self.map, min_obs=self.cfg.mapping.point_cull_min_obs,
             min_found_ratio=self.cfg.mapping.point_cull_min_found_ratio,
         )
-        self.map = mapping.cull_keyframes(
+        self.map, _ = mapping.cull_keyframes(
             self.map, kf, self.cfg.mapping.kf_cull_redundancy
         )
         self.ref_kf = kf
@@ -1416,6 +1531,7 @@ class SlamSystem:
                 ts,
                 self.epoch,
                 self.ref_kf_host,
+                self._ref_seq(self.ref_kf_host),
                 T_rel,
                 self.state == TrackState.OK,
             )
@@ -1423,47 +1539,112 @@ class SlamSystem:
 
     # ------------------------------------------------------------- exports
 
-    def _epoch_kf_poses(self) -> dict[int, jax.Array]:
-        tables = {self.epoch: self.map.kf_pose}
+    def _epoch_maps(self) -> dict[int, MapState]:
+        tables = {self.epoch: self.map}
         for entry in self.atlas.stashed:
-            tables[entry.epoch] = entry.map.kf_pose
+            tables[entry.epoch] = entry.map
         return tables
+
+    @staticmethod
+    def _ledger_tables(m: MapState):
+        """Host-side (alive seq->slot, retired seq->(parent_seq, T_cp))
+        lookup tables for one map (one readback each)."""
+        kf_seq = np.asarray(m.kf_seq)
+        kf_valid = np.asarray(m.kf_valid)
+        alive = {
+            int(kf_seq[s]): s
+            for s in range(len(kf_seq))
+            if kf_valid[s] and kf_seq[s] >= 0
+        }
+        ln = int(m.led_n)
+        led_seq = np.asarray(m.led_seq[:ln]) if ln else np.zeros(0, int)
+        led_parent = np.asarray(m.led_parent_seq[:ln]) if ln else led_seq
+        led_T = (np.asarray(m.led_T_cp[:ln], np.float64) if ln
+                 else np.zeros((0, 7)))
+        ledger = {
+            int(led_seq[i]): (int(led_parent[i]), led_T[i])
+            for i in range(ln)
+        }
+        return alive, ledger
+
+    @staticmethod
+    def _resolve_retired(seq: int, alive: dict, ledger: dict, memo: dict):
+        """Walk the retirement ledger from ``seq`` to an alive keyframe,
+        accumulating the relative-pose chain (the reference's
+        ``Trel = Trel*pKF->mTcp; pKF = pKF->GetParent()`` loop in
+        System::SaveTrajectoryTUM).  Returns (slot, T_acc) or None."""
+        if seq in memo:
+            return memo[seq]
+        T_acc = np.array([1.0, 0, 0, 0, 0, 0, 0])
+        s = seq
+        for _ in range(len(ledger) + 1):
+            if s in alive:
+                out = (alive[s], T_acc)
+                memo[seq] = out
+                return out
+            e = ledger.get(s)
+            if e is None:
+                memo[seq] = None
+                return None
+            parent, T_cp = e
+            T_acc = _np_se3_mul(T_acc, T_cp)
+            s = parent
+        memo[seq] = None
+        return None
 
     def frame_poses(self) -> np.ndarray:
         """(T, 7) current-best T_cw per recorded frame: relative poses
         recomposed against the *current* keyframe estimates, so loop/GBA
         corrections retroactively improve the whole trajectory (the
-        reference's SaveTrajectoryTUM recomposition).  Frames recorded in
-        stashed Atlas maps recompose against that map's keyframes (their
-        world frame stays their own until a merge re-bases them)."""
+        reference's SaveTrajectoryTUM recomposition).  Frames whose
+        reference keyframe was culled or evicted re-base through the
+        retirement ledger onto a surviving keyframe (the reference's
+        parent-chain walk for bad KFs).  Frames recorded in stashed Atlas
+        maps recompose against that map's keyframes (their world frame
+        stays their own until a merge re-bases them)."""
         self.flush()
         if not self.trajectory:
             return np.zeros((0, 7), np.float32)
-        tables = self._epoch_kf_poses()
-        refs = jnp.asarray(
-            [r for _, _, r, _, _ in self.trajectory], jnp.int32
+        T = len(self.trajectory)
+        rels = np.asarray(
+            jnp.stack([r[4] for r in self.trajectory]), np.float64
         )
-        rels = jnp.stack([T for _, _, _, T, _ in self.trajectory])
-        epochs = np.asarray([e for _, e, _, _, _ in self.trajectory])
-        # per-epoch device gathers, combined on device; ONE final readback
-        kf_rows = jnp.zeros((len(self.trajectory), 7), rels.dtype)
-        for e, table in tables.items():
-            sel = epochs == e
-            if not sel.any():
+        epochs = np.asarray([r[1] for r in self.trajectory])
+        refs = np.asarray([r[2] for r in self.trajectory])
+        seqs = np.asarray([r[3] for r in self.trajectory])
+        bases = np.zeros((T, 7))
+        bases[:, 0] = 1.0
+        for ep, m in self._epoch_maps().items():
+            sel = np.nonzero(epochs == ep)[0]
+            if sel.size == 0:
                 continue
-            idx = jnp.asarray(np.nonzero(sel)[0], jnp.int32)
-            kf_rows = kf_rows.at[idx].set(table[refs[idx]])
-        out = jax.vmap(
-            lambda rel, base: lie.se3_normalize(lie.se3_multiply(rel, base))
-        )(rels, kf_rows)
-        return np.asarray(out)
+            pose = np.asarray(m.kf_pose, np.float64)
+            alive, ledger = self._ledger_tables(m)
+            memo: dict = {}
+            K = pose.shape[0]
+            for i in sel:
+                s = int(seqs[i])
+                if s in alive:
+                    bases[i] = pose[alive[s]]
+                    continue
+                res = self._resolve_retired(s, alive, ledger, memo) \
+                    if s >= 0 else None
+                if res is not None:
+                    slot, T_acc = res
+                    rels[i] = _np_se3_mul(rels[i], T_acc)
+                    bases[i] = pose[slot]
+                else:
+                    # pre-seq row or unresolvable chain: best-effort slot
+                    bases[i] = pose[min(max(int(refs[i]), 0), K - 1)]
+        out = _np_se3_mul(rels, bases)
+        return out.astype(np.float32)
 
     def trajectory_tum(self) -> str:
         """TUM-format trajectory (timestamp tx ty tz qx qy qz qw) of camera
         poses in world frame (System::SaveTrajectoryTUM)."""
         lines = []
         poses = self.frame_poses()
-        for (ts, _, _, _, tracked), T_cw in zip(self.trajectory, poses):
+        for (ts, _, _, _, _, tracked), T_cw in zip(self.trajectory, poses):
             if not tracked:
                 continue
             T_wc = np.asarray(_inverse_pose(jnp.asarray(T_cw)))
@@ -1503,7 +1684,7 @@ class SlamSystem:
         standard evaluation tooling parse for these files."""
         lines = []
         poses = self.frame_poses()
-        for (ts, _, _, _, tracked), T_cw in zip(self.trajectory, poses):
+        for (ts, _, _, _, _, tracked), T_cw in zip(self.trajectory, poses):
             if not tracked:
                 continue
             T_wc = np.asarray(_inverse_pose(jnp.asarray(T_cw)))
@@ -1521,7 +1702,7 @@ class SlamSystem:
         lines = []
         poses = self.frame_poses()
         last = np.eye(4, dtype=np.float64)
-        for (_, _, _, _, tracked), T_cw in zip(self.trajectory, poses):
+        for (_, _, _, _, _, tracked), T_cw in zip(self.trajectory, poses):
             if tracked:
                 T_wc = np.asarray(_inverse_pose(jnp.asarray(T_cw)))
                 last = np.asarray(
@@ -1568,4 +1749,6 @@ class SlamSystem:
     def tracked_mask(self) -> np.ndarray:
         """(T,) bool — frames with a real pose estimate."""
         self.flush()
-        return np.asarray([t for _, _, _, _, t in self.trajectory], bool)
+        return np.asarray(
+            [r[-1] for r in self.trajectory], bool
+        )
