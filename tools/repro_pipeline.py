@@ -29,6 +29,7 @@ def main():
     nfeat = int(sys.argv[4]) if len(sys.argv) > 4 else 600
     n_frames = int(sys.argv[5]) if len(sys.argv) > 5 else 192
 
+    import os as _os
     from visual_sgraphs_tpu.config import (
         CameraConfig,
         CapacityConfig,
@@ -59,8 +60,20 @@ def main():
         mapping=MappingConfig(lba_iters=6, lba_interval=2, cull_interval=2),
         loop_closing=True,
         place=PlaceConfig(vocab_min_keyframes=4, consistency=1, min_gap=8,
+                          # the 20/40 double gate is calibrated for the
+                          # 1000-feature bench budget; scale guided
+                          # support with the feature count
+                          loop_min_guided=max(12, nfeat * 40 // 1000),
                           gba_after_loop=False),
     )
+    import dataclasses as _dc
+    sg_kw = {}
+    if _os.environ.get("NO_PLANE_COVIS"):
+        sg_kw["plane_covis_enabled"] = False
+    if _os.environ.get("NO_REFINE"):
+        sg_kw["refine_map_points"] = False
+    if sg_kw:
+        cfg = _dc.replace(cfg, scenegraph=_dc.replace(cfg.scenegraph, **sg_kw))
     system = SlamSystem(cfg)
     system.scenegraph = SceneGraphManager(cfg.scenegraph, cfg.capacity)
 

@@ -146,8 +146,12 @@ class SceneGraphConfig:
     # 81-140 octree membership): map points lying BEHIND a settled
     # semantic plane (opposite side from the camera, beyond the margin,
     # within the plane's lateral extent) are physically impossible
-    # (depth through a wall) and are culled at keyframe time
-    refine_map_points: bool = True
+    # (depth through a wall) and are culled at keyframe time.  Default
+    # OFF (a config toggle in the reference too): with noisy plane
+    # estimates the side test misfires and culls live points (measured
+    # +0.1 m ATE at the 240x320 gate); enable for sensors with heavy
+    # through-surface depth artifacts
+    refine_map_points: bool = False
     refine_behind_thresh: float = 0.15
     refine_lateral_radius: float = 2.5
     room_factor: bool = True  # room-center-from-walls factors
@@ -158,10 +162,14 @@ class SceneGraphConfig:
     plane_min_votes: float = 3.0
     # plane-based covisibility (KeyFrame.cc:486-523, SystemParams.h:76-80):
     # each shared plane adds ``plane_covis_score`` shared-point equivalents
-    # to a keyframe pair's covisibility weight before the local-BA window /
-    # essential-graph edges are selected; planes without a settled semantic
-    # class count at ``plane_covis_undefined_factor`` of that
-    plane_covis_enabled: bool = True
+    # to a keyframe pair's covisibility weight before the local-BA window
+    # is selected; planes without a settled semantic class count at
+    # ``plane_covis_undefined_factor`` of that.  Default OFF (a config
+    # toggle in the reference too): broad indoor planes (floor, long
+    # walls) are shared by most keyframes, and on the synthetic gates the
+    # bonus displaced genuinely covisible keyframes from the 10-KF BA
+    # window (measured +0.35 m ATE at the 240x320 gate)
+    plane_covis_enabled: bool = False
     plane_covis_score: float = 10.0
     plane_covis_undefined_factor: float = 0.2
     ransac_iters: int = 256

@@ -282,16 +282,9 @@ class LoopCloser:
             system.cam_K, fix_scale=fix_scale,
         )
         _loop_drift(m.kf_pose, kf, kf, S)
-        sgm = getattr(system, "scenegraph", None)
-        sg_cfg = system.cfg.scenegraph
         edges = pgo.build_covis_edges(
             m, min_weight=self.cfg.essential_min_weight,
             max_edges=self.cfg.essential_max_edges,
-            sg=(sgm.state if (sgm is not None
-                              and sg_cfg.plane_covis_enabled) else None),
-            plane_score=sg_cfg.plane_covis_score,
-            plane_min_votes=sg_cfg.plane_min_votes,
-            plane_undefined_factor=sg_cfg.plane_covis_undefined_factor,
         )
         fixed = jnp.zeros((m.K,), bool).at[0].set(True)
         S_id = jnp.asarray([1, 0, 0, 0, 0, 0, 0, 1], jnp.float32)
@@ -533,17 +526,15 @@ class LoopCloser:
 
         # ---- correct: essential graph + point propagation (CorrectLoop)
         with system.timers.stage("loop_correct"):
-            sgm0 = getattr(system, "scenegraph", None)
-            sg_cfg = system.cfg.scenegraph
+            # NOTE: the essential graph deliberately does NOT use the
+            # plane-covisibility bonus — broad planes (floor, long walls)
+            # are shared by distant keyframes, and bonus edges between
+            # them would measure CURRENT (drifted) relative poses,
+            # locking the drift in against the loop constraint.  Plane
+            # weighting applies to local-BA window selection only.
             edges = pgo.build_covis_edges(
                 m, min_weight=self.cfg.essential_min_weight,
                 max_edges=self.cfg.essential_max_edges,
-                sg=(sgm0.state if (sgm0 is not None
-                                   and sg_cfg.plane_covis_enabled)
-                    else None),
-                plane_score=sg_cfg.plane_covis_score,
-                plane_min_votes=sg_cfg.plane_min_votes,
-                plane_undefined_factor=sg_cfg.plane_covis_undefined_factor,
             )
             fixed = jnp.zeros((m.K,), bool).at[best].set(True)
             inertial = (getattr(system, "imu", None) is not None
