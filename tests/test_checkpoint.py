@@ -18,7 +18,11 @@ from visual_sgraphs_tpu.config import (
     Sensor,
     SystemConfig,
 )
-from visual_sgraphs_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from visual_sgraphs_tpu.io.checkpoint import (
+    FORMAT_VERSION,
+    load_checkpoint,
+    save_checkpoint,
+)
 from visual_sgraphs_tpu.io.synthetic import SyntheticScene
 from visual_sgraphs_tpu.slam import SlamSystem
 
@@ -51,7 +55,7 @@ def test_checkpoint_roundtrip_continue(tmp_path):
     # the saved trajectory exactly
     b = SlamSystem(_cfg(scene))
     manifest = load_checkpoint(path, b)
-    assert manifest["version"] == 2
+    assert manifest["version"] == FORMAT_VERSION
     np.testing.assert_allclose(
         np.asarray(b.frame_poses()), np.asarray(a.frame_poses()), atol=1e-6
     )

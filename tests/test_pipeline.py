@@ -56,11 +56,10 @@ def _run_bench_config(depth: int, h: int, w: int, nfeat: int,
         tracking=TrackingConfig(pipeline_depth=depth),
         mapping=MappingConfig(lba_iters=6, lba_interval=2, cull_interval=2),
         loop_closing=True,
+        # the 20/40 double gate self-scales with the feature budget inside
+        # LoopCloser (loop_closer.py:_resolve_detection) — no per-test
+        # threshold tuning
         place=PlaceConfig(vocab_min_keyframes=4, consistency=1, min_gap=8,
-                          # the 20/40 double gate is calibrated for the
-                          # 1000-feature bench budget; scale guided
-                          # support with the feature count
-                          loop_min_guided=max(12, nfeat * 40 // 1000),
                           gba_after_loop=False),
         strict_slot_check=True,
     )

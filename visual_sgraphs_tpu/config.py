@@ -187,7 +187,14 @@ class PlaceConfig:
     these inside LoopClosing.cc / KeyFrameDatabase.cc)."""
 
     vocab_branching: int = 8
-    vocab_levels: int = 3  # 8^3 = 512 words for the online-trained vocab
+    # 8^4 = 4096 words: the dense (Kmax, W) database stays tiny (2 MB at
+    # Kmax=128) and the batched tree descent just gains one gather level,
+    # while word collisions between distinct views drop ~8x vs the old
+    # 512-word tree (the reference ships a ~1M-word ORBvoc,
+    # TemplatedVocabulary.h:1478 — trained offline on millions of frames;
+    # an online-trained tree deeper than the descriptor diversity of one
+    # session overfits it, so 8^4 is the sweet spot here)
+    vocab_levels: int = 4
     vocab_min_keyframes: int = 4  # lazily train once this many KFs exist
     vocab_train_max_desc: int = 20000
     top_n_candidates: int = 3
@@ -200,6 +207,10 @@ class PlaceConfig:
     # >= 40, LoopClosing.cc:560-948); a weak Sim3 that passes the first
     # gate on coincidental matches rarely survives the second
     loop_min_guided: int = 40
+    # minimum fraction of descriptor matches the refined Sim3 must explain
+    # — aliased pairs (symmetric scenes) reach the absolute inlier count
+    # on a minority of their matches; true revisits agree in bulk
+    loop_min_inlier_ratio: float = 0.4
     loop_inlier_thresh_3d: float = 0.12  # metric Sim3-RANSAC gate (m)
     essential_min_weight: int = 30
     essential_max_edges: int = 512

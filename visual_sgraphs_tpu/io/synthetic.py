@@ -101,17 +101,25 @@ def render(T_wc: jax.Array, planes: PlaneSet, cam_K: jax.Array,
 
 
 class SyntheticScene:
-    """A room + trajectory; yields (gray, depth, T_wc_gt, timestamp)."""
+    """A room + trajectory; yields (gray, depth, T_wc_gt, timestamp).
+
+    ``room="hall"`` renders a 24x20 m hall instead of the default small
+    room — the long-stream harness for loop closure across hundreds of
+    keyframes (a KITTI-00-style gap on indoor RGB-D scales)."""
 
     def __init__(self, cam: CameraConfig | None = None, seed: int = 0,
-                 h: int = 240, w: int = 320):
+                 h: int = 240, w: int = 320, room: str = "room"):
         self.cam = cam or CameraConfig(
             fx=260.0, fy=260.0, cx=w / 2 - 0.5, cy=h / 2 - 0.5,
             width=w, height=h, k1=0.0, k2=0.0, k3=0.0,
             bf=0.08 * 260.0,
         )
         self.h, self.w = h, w
-        self.planes = room_planes()
+        if room == "hall":
+            self.planes = room_planes(half_x=12.0, half_y=2.0,
+                                      z_back=16.0, z_front=-4.0)
+        else:
+            self.planes = room_planes()
         self.cam_K = jnp.asarray(self.cam.K)
 
     def trajectory(self, n_frames: int, kind: str = "arc") -> np.ndarray:
@@ -144,6 +152,24 @@ class SyntheticScene:
             )  # yaw about y
             t = np.stack(
                 [r * np.sin(a), 0.05 * np.sin(3 * a), r * (1 - np.cos(a))],
+                axis=-1,
+            )
+            return np.concatenate([q, t], axis=-1).astype(np.float32)
+        elif kind == "bigloop":
+            # ONE slow large-radius lap plus a 25% revisit segment inside
+            # the hall: hundreds of keyframes elapse between mapping a
+            # wall section and seeing it again, so the eventual closure
+            # spans a multi-hundred-KF gap (the KITTI-00 loop structure
+            # at indoor scale)
+            laps = 1.25
+            a = laps * 2.0 * np.pi * s
+            r = 7.0
+            q = np.stack(
+                [np.cos(a / 2), 0 * a, np.sin(a / 2), 0 * a], axis=-1
+            )  # yaw about y follows the tangent
+            t = np.stack(
+                [r * np.sin(a), 0.05 * np.sin(3 * a),
+                 -1.0 + r * (1 - np.cos(a))],
                 axis=-1,
             )
             return np.concatenate([q, t], axis=-1).astype(np.float32)

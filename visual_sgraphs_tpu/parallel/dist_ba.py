@@ -187,28 +187,33 @@ def _local_reduced_system(kf_pose, pt_shard, kf_tab, uvr_tab, val_tab,
     S1 = jnp.einsum("nak,naij->kij", E, Hpp, precision=HIGH)  # (K, 6, 6)
     # pairwise Schur blocks via two assembled factors:
     #   S2[(k,r),(m,s)] = Σ_{n,i} X[(n,i),(k,r)] · Y[(n,i),(m,s)]
-    # with X from (W Hinv) and Y from W — ONE (3n, 6K)ᵀ(3n, 6K) matmul on
-    # the MXU.  (A per-landmark Ce (n, K, 3, 6) intermediate materializes
-    # O(n·K) memory — 1.2 GB at N=32k/K=128.)
+    # with X from (W Hinv) and Y from W.  Both factor builds and the big
+    # contraction are expressed as dot_generals whose MINOR dim stays K
+    # (lane-aligned) and whose batch/contraction dims avoid any large
+    # transposed copy — the earlier (n,3,K,6)-transposed layout cost 46 ms
+    # per iteration against this form's 10 ms at N=32k/K=128 (a per-
+    # landmark Ce (n, K, 3, 6) intermediate would be 1.2 GB; a scatter
+    # formulation serializes on TPU and was 7x slower still).
     WH = jnp.einsum("nari,nij->narj", W, Hinv,
                     precision=HIGH)  # (n, O, 6, 3)
 
-    def _factor(M):
-        # (n, O, 6, 3) -> X[(n,i),(k,r)] = Σ_{a->k} M[n,a,r,i]
+    def _factor4(M):
+        # (n, O, 6, 3) -> A[n, (i,r), k] = Σ_{a->k} M[n,a,r,i]
         M18 = jnp.transpose(M, (0, 1, 3, 2)).reshape(n, O, 18)  # [i*6+r]
-        A = jnp.einsum("nak,nat->ntk", E, M18,
-                       precision=HIGH)  # (n, 18, K)
-        return jnp.transpose(
-            A.reshape(n, 3, 6, K), (0, 1, 3, 2)
-        ).reshape(n * 3, K * 6)
+        A = jax.lax.dot_general(
+            M18, E, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=HIGH,
+        )  # (n, 18, K)
+        return A.reshape(n, 3, 6, K)
 
-    Xf = _factor(WH)
-    Yf = _factor(W)
+    X4 = _factor4(WH)
+    Y4 = _factor4(W)
     S2 = jax.lax.dot_general(
-        Xf, Yf, (((0,), (0,)), ((), ())),
+        X4, Y4, (((0, 1), (0, 1)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=HIGH,
-    )  # (6K, 6K)
+    )  # (r, k, s, m)
+    S2 = jnp.transpose(S2, (1, 0, 3, 2)).reshape(6 * K, 6 * K)
     S = -0.5 * (S2 + S2.T)  # symmetric by construction; enforce exactly
     kk = jnp.arange(K)
     S = S.reshape(K, 6, K, 6).at[kk, :, kk, :].add(S1)
@@ -259,6 +264,64 @@ def _back_substitute(Hinv, bx, W, kf_tab, val_tab, dxr6):
 # ---------------------------------------------------------------------------
 
 
+def _step_body(kf_pose, pt_shard, kf_tab, uvr_tab, val_tab, valid_pt,
+               cam_K, fixed_kf, lam, bf, huber, iters: int, single: bool):
+    K = kf_pose.shape[0]
+
+    def one_iter(carry, _):
+        pose, pts = carry
+        S, rhs, Hinv, bx_l, W_l, cost = _local_reduced_system(
+            pose, pts, kf_tab, uvr_tab, val_tab, cam_K,
+            bf.astype(pts.dtype), lam.astype(pts.dtype), huber,
+        )
+        if not single:
+            # ONE collective completes the global reduced system
+            S = jax.lax.psum(S, AXIS)
+            rhs = jax.lax.psum(rhs, AXIS)
+            cost = jax.lax.psum(cost, AXIS)
+        # replicated damped solve over keyframe tangents
+        diag = jnp.clip(jnp.diagonal(S), 1e-6, None)
+        S = S + jnp.diag(lam * diag + 1e-5)
+        free = jnp.repeat(~fixed_kf, 6).astype(S.dtype)
+        S = S * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+        rhs = rhs * free
+        cf = jax.scipy.linalg.cho_factor(S, lower=True)
+        dxr = jax.scipy.linalg.cho_solve(cf, rhs)
+        dxr = jnp.where(jnp.isfinite(dxr), dxr, 0.0) * free
+        dxr6 = dxr.reshape(K, 6)
+        new_pose = jax.vmap(lie.se3_boxplus)(
+            pose, jnp.where(fixed_kf[:, None], 0.0, dxr6)
+        )
+        new_pose = jax.vmap(lie.se3_normalize)(new_pose)
+        # local landmark back-substitution
+        dxe = _back_substitute(Hinv, bx_l, W_l, kf_tab, val_tab, dxr6)
+        new_pts = pts + jnp.where(valid_pt[:, None], dxe, 0.0)
+        return (new_pose, new_pts), cost
+
+    (pose, pts), costs = jax.lax.scan(
+        one_iter, (kf_pose, pt_shard), None, length=iters
+    )
+    return pose, pts, costs
+
+
+_single_solver = jax.jit(_step_body, static_argnames=("iters", "single"))
+
+
+@functools.lru_cache(maxsize=8)
+def _mesh_solver(mesh: Mesh, iters: int):
+    """Per-mesh jitted shard_map solver (cached so repeat GBAs re-trace
+    nothing)."""
+    body = functools.partial(_step_body, iters=iters, single=False)
+    return jax.jit(jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                  P(), P(), P(), P(), P()),
+        out_specs=(P(), P(AXIS), P()),
+        check_vma=False,
+    ))
+
+
 def sharded_ba_grouped(
     kf_pose, pt_pos, kf_tab, uvr_tab, val_tab, cam_K,
     fixed_kf, valid_pt, mesh: Mesh, iters: int = 10, lam=1e-4,
@@ -270,52 +333,17 @@ def sharded_ba_grouped(
     to a multiple of the mesh size); poses are replicated.  Returns
     (kf_pose, pt_pos, costs (iters,)).
     """
-    K = kf_pose.shape[0]
-
-    def step_body(kf_pose, pt_shard, kf_tab, uvr_tab, val_tab, valid_pt):
-        def one_iter(carry, _):
-            pose, pts = carry
-            S, rhs, Hinv, bx_l, W_l, cost = _local_reduced_system(
-                pose, pts, kf_tab, uvr_tab, val_tab, cam_K,
-                jnp.asarray(bf, pts.dtype), jnp.asarray(lam, pts.dtype),
-                huber,
-            )
-            # ONE collective completes the global reduced system
-            S = jax.lax.psum(S, AXIS)
-            rhs = jax.lax.psum(rhs, AXIS)
-            cost = jax.lax.psum(cost, AXIS)
-            # replicated damped solve over keyframe tangents
-            diag = jnp.clip(jnp.diagonal(S), 1e-6, None)
-            S = S + jnp.diag(lam * diag + 1e-5)
-            free = jnp.repeat(~fixed_kf, 6).astype(S.dtype)
-            S = S * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
-            rhs = rhs * free
-            cf = jax.scipy.linalg.cho_factor(S, lower=True)
-            dxr = jax.scipy.linalg.cho_solve(cf, rhs)
-            dxr = jnp.where(jnp.isfinite(dxr), dxr, 0.0) * free
-            dxr6 = dxr.reshape(K, 6)
-            new_pose = jax.vmap(lie.se3_boxplus)(
-                pose, jnp.where(fixed_kf[:, None], 0.0, dxr6)
-            )
-            new_pose = jax.vmap(lie.se3_normalize)(new_pose)
-            # local landmark back-substitution
-            dxe = _back_substitute(Hinv, bx_l, W_l, kf_tab, val_tab, dxr6)
-            new_pts = pts + jnp.where(valid_pt[:, None], dxe, 0.0)
-            return (new_pose, new_pts), cost
-
-        (pose, pts), costs = jax.lax.scan(
-            one_iter, (kf_pose, pt_shard), None, length=iters
-        )
-        return pose, pts, costs
-
-    sharded = jax.jit(jax.shard_map(
-        step_body,
-        mesh=mesh,
-        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=(P(), P(AXIS), P()),
-        check_vma=False,
-    ))
-    return sharded(kf_pose, pt_pos, kf_tab, uvr_tab, val_tab, valid_pt)
+    dt = pt_pos.dtype
+    args = (kf_pose, pt_pos, kf_tab, uvr_tab, val_tab, valid_pt,
+            cam_K, fixed_kf, jnp.asarray(lam, dt), jnp.asarray(bf, dt),
+            jnp.asarray(huber, dt))
+    if mesh.devices.size == 1:
+        # one-device mesh: shard_map's partitioning machinery roughly
+        # DOUBLED the wall time of this loop (1.46 s vs 0.78 s for 10
+        # iterations at N=32k/K=128 on a v5e) without buying anything —
+        # run the body directly through a module-level cached jit
+        return _single_solver(*args, iters=iters, single=True)
+    return _mesh_solver(mesh, iters)(*args)
 
 
 def _pad_to(x, n, fill=0):

@@ -53,6 +53,17 @@ def remove_keyframe(db: PlaceDB, kf_id: jax.Array) -> PlaceDB:
 
 
 @jax.jit
+def build_db(bows: jax.Array, valid: jax.Array) -> PlaceDB:
+    """Whole-database (re)build in ONE dispatch: ``bows`` (Kmax, W) stacked
+    BoW rows, ``valid`` (Kmax,) slot occupancy.  Replaces the per-keyframe
+    ``add_keyframe`` host loop of a vocabulary (re)train or Atlas-merge
+    backfill (KeyFrameDatabase.cc:33-41 rebuilds its inverted file KF by
+    KF; dense rows make the whole thing a masked write)."""
+    bows = jnp.where(valid[:, None], bows, 0.0)
+    return PlaceDB(bow=bows, has_word=bows > 0, valid=valid)
+
+
+@jax.jit
 def l1_scores(db: PlaceDB, query_bow: jax.Array) -> jax.Array:
     """(Kmax,) DBoW2 L1 similarity of the query against every stored KF:
     s = 2*sum min(q, v) (monotone in sum-min; the 2x is dropped)."""

@@ -53,6 +53,7 @@ def make_cycle_program(
     cull_kf_redundancy: float,
     min_gap: int,
     top_n: int,
+    quarantine: int = 3,
 ):
     from visual_sgraphs_tpu.slam import mapping, tracking
     from visual_sgraphs_tpu.slam.kf_program import make_kf_program
@@ -63,6 +64,7 @@ def make_cycle_program(
     kf_prog = make_kf_program(
         sg_cfg, loop_on, n_window, lba_iters, cull_min_obs,
         cull_min_found_ratio, cull_kf_redundancy, min_gap, top_n,
+        quarantine,
     )
 
     def cycle(m, sg, db, vocab,

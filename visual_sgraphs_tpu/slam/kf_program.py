@@ -40,6 +40,7 @@ def make_kf_program(
     cull_kf_redundancy: float,
     min_gap: int,
     top_n: int,
+    quarantine: int = 3,
 ):
     from visual_sgraphs_tpu.slam import mapping
 
@@ -56,7 +57,8 @@ def make_kf_program(
         HOST-chosen insertion slot (SlamSystem._host_alloc_kf_slot)."""
         m = mapping.apply_found_stats(m, stats_slots, stats_vis)
         m, kf, evicted = mapping.insert_keyframe(
-            m, frame, pose, slot_pt, cam_K, slot=kf_slot
+            m, frame, pose, slot_pt, cam_K, slot=kf_slot,
+            quarantine=quarantine,
         )
         m = mapping.fuse_observations(m, kf, cam_K)
         m, culled = jax.lax.cond(

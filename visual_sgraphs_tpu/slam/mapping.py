@@ -60,29 +60,37 @@ def retire_keyframe(m: MapState, slot: jax.Array,
     T_cp = lie.se3_normalize(lie.se3_multiply(
         m.kf_pose[slot], lie.se3_inverse(m.kf_pose[parent])
     ))
+    # a ledger entry is only written when it can ever resolve: a
+    # parentless retirement (no other valid keyframe) would record
+    # parent_seq −1 or itself — an unresolvable/self-referential chain —
+    # and a saturated ledger must DROP the entry rather than overwrite
+    # slot E−1 (which would sever every chain routed through it);
+    # frame_poses marks rows whose chain is missing as untracked, and
+    # emits a ledger_saturated event when led_n hits capacity
+    write = do & jnp.any(cand) & (m.led_n < m.E)
     e = jnp.minimum(m.led_n, m.E - 1)
     return m._replace(
         kf_valid=m.kf_valid.at[slot].set(
             jnp.where(do, False, m.kf_valid[slot])
         ),
         pt_first_kf=jnp.where(
-            do & (m.pt_first_kf == slot),
+            do & jnp.any(cand) & (m.pt_first_kf == slot),
             parent.astype(m.pt_first_kf.dtype), m.pt_first_kf,
         ),
         led_seq=m.led_seq.at[e].set(
-            jnp.where(do, seq_s, m.led_seq[e])
+            jnp.where(write, seq_s, m.led_seq[e])
         ),
         led_parent_seq=m.led_parent_seq.at[e].set(
-            jnp.where(do, m.kf_seq[parent], m.led_parent_seq[e])
+            jnp.where(write, m.kf_seq[parent], m.led_parent_seq[e])
         ),
         led_T_cp=m.led_T_cp.at[e].set(
-            jnp.where(do, T_cp, m.led_T_cp[e])
+            jnp.where(write, T_cp, m.led_T_cp[e])
         ),
-        led_n=jnp.minimum(m.led_n + do.astype(jnp.int32), m.E),
+        led_n=jnp.minimum(m.led_n + write.astype(jnp.int32), m.E),
     )
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("quarantine",))
 def insert_keyframe(
     m: MapState,
     frame: FrameObs,
@@ -90,6 +98,7 @@ def insert_keyframe(
     slot_pt: jax.Array,
     cam_K: jax.Array,
     slot: jax.Array = None,
+    quarantine: int = 3,
 ) -> tuple[MapState, jax.Array, jax.Array]:
     """Write the frame into keyframe slot ``slot``; seed new map points
     from keypoints with valid depth that didn't match an existing point
@@ -124,9 +133,11 @@ def insert_keyframe(
     p_world = lie.se3_apply(T_wc, p_cam)
     new_mask = frame.valid & (frame.depth > 0) & (slot_pt < 0)
     # allocate point ids from the free list; freshly culled ids stay
-    # quarantined for 3 keyframes so in-flight pipeline match tables can't
-    # be relinked to an unrelated reused point
-    allocatable = ~m.pt_valid & (m.n_kf - m.pt_freed_seq >= 3)
+    # quarantined for ``quarantine`` keyframes so in-flight pipeline match
+    # tables can't be relinked to an unrelated reused point — callers on
+    # the pipelined path scale this with pipeline_depth (a dispatched
+    # batch can span that many frames of stale match tables, ADVICE r4 #2)
+    allocatable = ~m.pt_valid & (m.n_kf - m.pt_freed_seq >= quarantine)
     (free_ids,) = jnp.nonzero(allocatable, size=F, fill_value=-1)
     order = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
     new_ids = jnp.where(new_mask, free_ids[jnp.minimum(order, F - 1)], -1)
