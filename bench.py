@@ -175,6 +175,49 @@ def main():
     except Exception as e:  # never let the metric kill the bench line
         ba_ms_per_iter = f"failed: {e}"
 
+    # ---- inertial row (VERDICT r4 task #6): RGB-D + IMU through the
+    # exact per-frame visual-inertial solve (PoseInertialOptimization-
+    # LastFrame equivalent) on a shorter stream of the same scene
+    inertial = None
+    try:
+        from visual_sgraphs_tpu.config import ImuConfig
+
+        vi_scene = SyntheticScene(h=480, w=640)
+        vi_cfg = SystemConfig(
+            sensor=Sensor.IMU_RGBD,
+            camera=vi_scene.cam,
+            orb=OrbConfig(n_features=1000),
+            capacity=CapacityConfig(max_keyframes=64, max_points=16384),
+            imu=ImuConfig(),
+            mapping=MappingConfig(lba_iters=6, lba_interval=2,
+                                  cull_interval=2),
+        )
+        vi = SlamSystem(vi_cfg)
+        vi_n, vi_warm = 128, 48
+        vi_gt, t_vi = [], None
+        for i, (g, d, T_wc, ts, samples) in enumerate(
+            vi_scene.frames_with_imu(vi_n, kind="orbit")
+        ):
+            if i == vi_warm:
+                vi.flush()
+                t_vi = time.time()
+            vi.track_rgbd(jnp.asarray(g), jnp.asarray(d), ts, imu=samples)
+            vi_gt.append(np.asarray(T_wc)[4:7])
+        vi.flush()
+        vi_el = time.time() - t_vi
+        vi_rmse, _ = geometry.ate_rmse(
+            jnp.asarray(vi.positions()), jnp.asarray(np.stack(vi_gt))
+        )
+        inertial = {
+            "metric": "rgbd_inertial_fps_640x480_1000feat",
+            "fps": round((vi_n - vi_warm) / vi_el, 2),
+            "ate_rmse_m": round(float(vi_rmse), 4),
+            "imu_initialized": bool(vi.imu.initialized),
+            "n_keyframes": int(vi.map.n_kf),
+        }
+    except Exception as e:  # never let the extra row kill the bench line
+        inertial = {"failed": str(e)}
+
     # per-stage profile (REGISTER_TIMES equivalent, SURVEY §5.1) + event
     # counts ride in the artifact so perf regressions are diagnosable from
     # BENCH_r*.json alone (VERDICT r3 task #5)
@@ -202,6 +245,7 @@ def main():
                     "gba_after_loop": True,
                 },
                 "ba_ms_per_iter_chip": ba_ms_per_iter,
+                "inertial": inertial,
                 "events": dict(ev),
                 "stages": system.timers.summary(),
                 "device": jax.devices()[0].device_kind,

@@ -49,7 +49,11 @@ def main(n_frames: int = 1600):
         orb=OrbConfig(n_features=600),
         capacity=CapacityConfig(max_keyframes=512, max_points=65536,
                                 max_retired=4096),
-        tracking=TrackingConfig(pipeline_depth=8),
+        # force a keyframe at least every 4 frames: one 1.25-lap pass then
+        # holds >= 300 keyframes per lap, so the closure spans the target
+        # multi-hundred-KF gap (without forcing, confident tracking spaces
+        # keyframes ~8 frames apart and the lap holds only ~150)
+        tracking=TrackingConfig(pipeline_depth=8, kf_max_interval=4),
         mapping=MappingConfig(lba_iters=6, lba_interval=2, cull_interval=4),
         loop_closing=True,
         place=PlaceConfig(vocab_min_keyframes=8, consistency=1, min_gap=40,

@@ -77,8 +77,14 @@ class OrbConfig:
 
 @dataclasses.dataclass(frozen=True)
 class TrackingConfig:
-    match_radius_coarse: float = 15.0  # motion-model window (px)
+    # motion-model match windows, in pixels AT ``match_radius_ref_fx``
+    # focal length — SlamSystem scales them with the live camera's fx so
+    # the window is a constant ANGULAR search region (the reference's
+    # fixed th=15 px is tuned per dataset calibration; a resolution- or
+    # FOV-change there requires re-tuning, Tracking.cc SearchByProjection)
+    match_radius_coarse: float = 15.0
     match_radius_fine: float = 7.0
+    match_radius_ref_fx: float = 260.0
     min_inliers_ok: int = 15  # below -> RECENTLY_LOST
     min_matches_track: int = 20
     kf_min_interval: int = 3  # frames between keyframes (min)
@@ -172,6 +178,14 @@ class SceneGraphConfig:
     plane_covis_enabled: bool = False
     plane_covis_score: float = 10.0
     plane_covis_undefined_factor: float = 0.2
+    # room segmentation method (SystemParams room_seg.method): "walls" =
+    # facing-wall-pair analysis only (the reference's deprecated
+    # geometric method, SemanticsManager.cc:206-300); "freespace" = seed
+    # candidates from free-space clusters (the primary voxblox path,
+    # SemanticsManager.cc:302-403, batched in scenegraph/freespace.py)
+    room_method: str = "walls"
+    freespace_grid: int = 32
+    freespace_voxel: float = 0.35
     ransac_iters: int = 256
     ransac_dist_thresh: float = 0.04
     ransac_min_inliers: int = 300

@@ -69,15 +69,23 @@ def match_nn_ratio(
     angle_a=None,
     angle_b=None,
     mutual: bool = True,
+    pair_mask=None,
 ):
     """Brute-force nearest neighbour with Lowe ratio test.
 
+    ``pair_mask``: optional (Na, Nb) bool — candidate pairs outside the
+    mask are excluded from the search entirely (the reference's epipolar-
+    band restriction in SearchForTriangulation, ORBmatcher.h:72: the NN
+    search runs over the admissible band, so a better-scoring wrong match
+    elsewhere cannot shadow the true correspondence).
     Returns (matches (Na,) int32 — index into b or -1, dist (Na,) int32).
     """
     BIG = 10_000
     d = hamming_matrix(desc_a, desc_b)
     d = jnp.where(valid_b[None, :], d, BIG)
     d = jnp.where(valid_a[:, None], d, BIG)
+    if pair_mask is not None:
+        d = jnp.where(pair_mask, d, BIG)
     neg = -d
     best2, idx2 = jax.lax.top_k(neg, 2)
     best, second = -best2[:, 0], -best2[:, 1]

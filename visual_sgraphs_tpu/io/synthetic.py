@@ -187,6 +187,38 @@ class SyntheticScene:
             )
             yield gray, depth, T_wc, i / fps
 
+    def frames_hostile(self, n_frames: int, kind: str = "arc",
+                       fps: float = 30.0, seed: int = 0, params=None):
+        """The same stream through the hostile-sensor model (io/degrade.py):
+        Kinect depth noise + holes, motion blur, exposure drift — the
+        dataset-replay stand-in for real-sensor gates."""
+        from visual_sgraphs_tpu.io.degrade import DegradeParams, degrade_rgbd
+
+        params = params or DegradeParams()
+        traj = self.trajectory(n_frames, kind)
+        key = jax.random.PRNGKey(seed)
+        fx = self.cam.fx
+        prev = None
+        for i, T_wc in enumerate(traj):
+            gray, depth, _ = render(
+                jnp.asarray(T_wc), self.planes, self.cam_K, self.h, self.w
+            )
+            # apparent image motion from the GT pose delta (px/frame)
+            if prev is None:
+                flow = jnp.zeros((2,), jnp.float32)
+            else:
+                d = np.asarray(T_wc[4:7]) - np.asarray(prev[4:7])
+                z_mid = 3.0
+                flow = jnp.asarray(
+                    [fx * d[0] / z_mid, fx * d[1] / z_mid], jnp.float32
+                )
+            prev = T_wc
+            key, sub = jax.random.split(key)
+            g2, d2 = degrade_rgbd(
+                gray, depth, sub, jnp.float32(i / fps), flow, params
+            )
+            yield g2, d2, T_wc, i / fps
+
     def frames_with_imu(self, n_frames: int, kind: str = "arc",
                         fps: float = 30.0, imu_rate: float = 200.0,
                         g_world=(0.0, 9.81, 0.0), seed: int = 0,

@@ -191,7 +191,13 @@ def reloc_in_map(m: MapState, db: db_mod.PlaceDB,
     """Relocalize ``frame`` against an arbitrary (map, database, vocab)
     triple — used both for in-map relocalization and for Atlas merge /
     resume detection against stashed maps.  Returns (pose (7,), kf_id) or
-    None."""
+    None.
+
+    ``min_inliers`` is calibrated for the reference's 1000-feature budget
+    (Tracking::Relocalization's 50-match / 15-inlier ladder scales with
+    its budget too); scale it with the live frame's feature capacity so
+    smaller budgets keep the same acceptance fraction."""
+    min_eff = max(12, min_inliers * int(frame.valid.shape[0]) // 1000)
     bow = vocab_mod.bow_vector(vocab, frame.desc, frame.valid)
     cand_ids, _ = db_mod.detect_candidates(
         db, bow, ~m.kf_valid, min_common_ratio=0.5, top_n=top_n
@@ -203,7 +209,7 @@ def reloc_in_map(m: MapState, db: db_mod.PlaceDB,
             m, frame, jnp.asarray(int(cid), jnp.int32), cam_K,
             jax.random.PRNGKey(seed * 131 + j),
         )
-        if int(n_inl) >= min_inliers:
+        if int(n_inl) >= min_eff:
             return lie.se3_normalize(pose), int(cid)
     return None
 

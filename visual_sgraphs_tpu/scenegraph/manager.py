@@ -608,6 +608,56 @@ class SceneGraphManager:
         self.defer_nobs_readback = False
         self._kf_count = 0
         self.maintenance_interval = 4  # KFs between filter/re-associate runs
+        # free-space room inference (room_method="freespace"): transient
+        # observed-free voxel grid, the in-framework voxblox-skeleton
+        # equivalent (Atlas.h:138 skeleton store; not checkpointed there
+        # either)
+        self._free_grid = None
+        self._free_origin = None
+
+    def update_freespace(self, depth_img, T_cw, cam_K) -> None:
+        """Accumulate this keyframe's observed free space into the grid
+        (scenegraph/freespace.py; called at keyframe cadence when
+        room_method == "freespace")."""
+        import jax.numpy as jnp
+
+        from visual_sgraphs_tpu.scenegraph import freespace as fs
+
+        G = self.cfg.freespace_grid
+        vox = self.cfg.freespace_voxel
+        if self._free_grid is None:
+            self._free_grid = jnp.zeros((G, G, G), bool)
+            # grid centered on the current camera position
+            import jax
+
+            from visual_sgraphs_tpu.core import lie as _lie
+            C = _lie.se3_inverse(jnp.asarray(T_cw))[4:7]
+            self._free_origin = C - 0.5 * G * vox
+        self._free_grid = fs.accumulate_freespace(
+            self._free_grid, self._free_origin,
+            jnp.asarray(vox, jnp.float32), jnp.asarray(depth_img),
+            jnp.asarray(T_cw), jnp.asarray(cam_K), G=G,
+        )
+
+    def infer_rooms_freespace(self) -> None:
+        """Cluster the free-space grid and upsert room candidates seeded
+        by the cluster centers (detectMapRoomCandidateVoxblox)."""
+        import jax.numpy as jnp
+
+        from visual_sgraphs_tpu.scenegraph import freespace as fs
+
+        if self._free_grid is None:
+            return
+        centers, valid = fs.freespace_cluster_centers(
+            self._free_grid, self._free_origin,
+            jnp.asarray(self.cfg.freespace_voxel, jnp.float32),
+            G=self.cfg.freespace_grid,
+        )
+        self.state = fs.detect_rooms_freespace(
+            self.state, centers, valid,
+            min_votes=self.cfg.plane_min_votes,
+            wall_dist=self.cfg.room_wall_dist_thresh,
+        )
 
     def provide_semantics(self, timestamp: float, sem_img, conf_img=None):
         """Register a per-pixel class image (and optional per-pixel

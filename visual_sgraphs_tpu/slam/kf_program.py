@@ -115,7 +115,11 @@ def make_kf_program(
                 lambda s: s,
                 sg,
             )
-            sg = detect_rooms(sg, min_votes=sg_cfg.plane_min_votes)
+            if getattr(sg_cfg, "room_method", "walls") != "freespace":
+                sg = detect_rooms(sg, min_votes=sg_cfg.plane_min_votes)
+            # freespace mode: room candidates come from the host-side
+            # free-space clustering pass (scenegraph/freespace.py),
+            # applied outside this program at maintenance cadence
 
             if sg_cfg.refine_map_points:
                 from visual_sgraphs_tpu.scenegraph.manager import (

@@ -256,63 +256,101 @@ def insert_and_maintain(
 
 
 # ---------------------------------------------------------------------------
-# mono point creation: epipolar triangulation with the best neighbour
+# mono point creation: epipolar-guided triangulation with top-N neighbours
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("n_neighbours",))
 def create_points_mono(m: MapState, kf_id: jax.Array,
-                       cam_K: jax.Array) -> MapState:
-    """Triangulate new points between ``kf_id`` and its best covisible
-    neighbour (CreateNewMapPoints, LocalMapping.cc:382 — reduced to the
-    single best neighbour; widened later rounds can scan the top-N)."""
+                       cam_K: jax.Array,
+                       n_neighbours: int = 3) -> MapState:
+    """Triangulate new points between ``kf_id`` and its top-N covisible
+    neighbours under the epipolar constraint (CreateNewMapPoints,
+    LocalMapping.cc:382 + ORBmatcher::SearchForTriangulation,
+    ORBmatcher.h:72): for each neighbour the descriptor NN search runs
+    only over the epipolar band implied by the current relative pose, so
+    a repeated-texture match off the epipolar line cannot shadow the true
+    correspondence, and keypoints the best neighbour cannot triangulate
+    (too little parallax, occlusion) get further chances."""
     counts = covisibility_counts(m, kf_id)
-    nb = jnp.argmax(counts)
+    _, top_nb = jax.lax.top_k(counts, n_neighbours)
+    nb_has = counts[top_nb] > 0
     T_c = m.kf_pose[kf_id]
-    T_n = m.kf_pose[nb]
-    # match unassociated keypoints of the two frames
+    fx = cam_K[0]
+    eps_epi = (2.5 / fx) ** 2  # ~2.5 px epipolar band in normalized units
     un_c = m.kf_kp_valid[kf_id] & (m.kf_obs_pt[kf_id] < 0)
-    un_n = m.kf_kp_valid[nb] & (m.kf_obs_pt[nb] < 0)
-    match, _ = match_nn_ratio(
-        m.kf_desc[kf_id], un_c, m.kf_desc[nb], un_n,
-        ratio=0.8,
-        angle_a=m.kf_angle[kf_id], angle_b=m.kf_angle[nb],
-    )
-    ok = match >= 0
-    slot_n = jnp.maximum(match, 0)
     ray_c = cameras.unproject_pinhole(cam_K, m.kf_uv[kf_id])
-    ray_n = cameras.unproject_pinhole(cam_K, m.kf_uv[nb][slot_n])
-    # relative pose: points in c-frame -> n-frame
-    T_nc = lie.se3_multiply(T_n, lie.se3_inverse(T_c))
-    p_c, z1, z2 = geometry.triangulate_dlt(
-        ray_c, ray_n, jnp.broadcast_to(T_nc, ray_c.shape[:1] + (7,))
-    )
-    cosp = geometry.parallax_cos(ray_c, ray_n, T_nc)
-    # reprojection check in both views
-    uv_c = cameras.project_pinhole(cam_K, p_c)
-    p_n = lie.se3_apply(T_nc, p_c)
-    uv_n = cameras.project_pinhole(cam_K, p_n)
-    err_c = jnp.sum((uv_c - m.kf_uv[kf_id]) ** 2, axis=-1)
-    err_n = jnp.sum((uv_n - m.kf_uv[nb][slot_n]) ** 2, axis=-1)
-    good = (
-        ok
-        & (z1 > 0.05) & (z2 > 0.05)
-        & (cosp < 0.9998)  # enough parallax (~1 deg)
-        & (err_c < CHI2_MONO) & (err_n < CHI2_MONO)
-    )
-    p_world = lie.se3_apply(lie.se3_inverse(T_c), p_c)
 
     F = m.F
+    has_pt = jnp.zeros((F,), bool)
+    p_world_acc = jnp.zeros((F, 3), m.pt_pos.dtype)
+    takes, slots = [], []
+    for i in range(n_neighbours):
+        nb = top_nb[i]
+        T_n = m.kf_pose[nb]
+        T_nc = lie.se3_multiply(T_n, lie.se3_inverse(T_c))
+        R_nc = lie.quat_to_matrix(T_nc[:4])
+        t_nc = T_nc[4:7]
+        E = lie.hat(t_nc) @ R_nc  # x_nᵀ E x_c = 0
+        un_n = m.kf_valid[nb] & m.kf_kp_valid[nb] & (m.kf_obs_pt[nb] < 0)
+        ray_n_all = cameras.unproject_pinhole(cam_K, m.kf_uv[nb])
+        # (Fc, Fn) Sampson distances -> epipolar band mask
+        Exc = ray_c @ E.T          # (Fc, 3)
+        Etxn = ray_n_all @ E       # (Fn, 3)
+        num = Exc @ ray_n_all.T    # (Fc, Fn) = x_nᵀ E x_c
+        den = (Exc[:, 0] ** 2 + Exc[:, 1] ** 2)[:, None] + \
+            (Etxn[:, 0] ** 2 + Etxn[:, 1] ** 2)[None, :]
+        band = (num * num) / jnp.maximum(den, 1e-12) < eps_epi
+        match, _ = match_nn_ratio(
+            m.kf_desc[kf_id], un_c & ~has_pt, m.kf_desc[nb], un_n,
+            ratio=0.8,
+            angle_a=m.kf_angle[kf_id], angle_b=m.kf_angle[nb],
+            pair_mask=band,
+        )
+        ok = (match >= 0) & nb_has[i]
+        slot_n = jnp.maximum(match, 0)
+        ray_n = ray_n_all[slot_n]
+        p_c, z1, z2 = geometry.triangulate_dlt(
+            ray_c, ray_n, jnp.broadcast_to(T_nc, ray_c.shape[:1] + (7,))
+        )
+        cosp = geometry.parallax_cos(ray_c, ray_n, T_nc)
+        uv_c = cameras.project_pinhole(cam_K, p_c)
+        p_n = lie.se3_apply(T_nc, p_c)
+        uv_n = cameras.project_pinhole(cam_K, p_n)
+        err_c = jnp.sum((uv_c - m.kf_uv[kf_id]) ** 2, axis=-1)
+        err_n = jnp.sum((uv_n - m.kf_uv[nb][slot_n]) ** 2, axis=-1)
+        good = (
+            ok & ~has_pt
+            & (z1 > 0.05) & (z2 > 0.05)
+            & (cosp < 0.9998)  # enough parallax (~1 deg)
+            & (err_c < CHI2_MONO) & (err_n < CHI2_MONO)
+        )
+        p_world_i = lie.se3_apply(lie.se3_inverse(T_c), p_c)
+        p_world_acc = jnp.where(good[:, None], p_world_i, p_world_acc)
+        has_pt = has_pt | good
+        takes.append(good)
+        slots.append(slot_n)
+
     allocatable = ~m.pt_valid & (m.n_kf - m.pt_freed_seq >= 3)
     (free_ids,) = jnp.nonzero(allocatable, size=F, fill_value=-1)
-    order = jnp.cumsum(good.astype(jnp.int32)) - 1
-    new_ids = jnp.where(good, free_ids[jnp.minimum(order, F - 1)], -1)
+    order = jnp.cumsum(has_pt.astype(jnp.int32)) - 1
+    new_ids = jnp.where(has_pt, free_ids[jnp.minimum(order, F - 1)], -1)
     alloc = new_ids >= 0
     safe = jnp.maximum(new_ids, 0)
 
+    obs = m.kf_obs_pt.at[kf_id].set(
+        jnp.where(alloc, new_ids, m.kf_obs_pt[kf_id])
+    )
+    for i in range(n_neighbours):
+        take_i = takes[i] & alloc
+        obs = obs.at[top_nb[i], slots[i]].set(
+            jnp.where(take_i, new_ids, obs[top_nb[i], slots[i]]),
+            mode="drop",
+        )
+
     return m._replace(
         pt_pos=m.pt_pos.at[safe].set(
-            jnp.where(alloc[:, None], p_world, m.pt_pos[safe])
+            jnp.where(alloc[:, None], p_world_acc, m.pt_pos[safe])
         ),
         pt_valid=m.pt_valid.at[safe].set(alloc | m.pt_valid[safe]),
         pt_desc=m.pt_desc.at[safe].set(
@@ -330,11 +368,7 @@ def create_points_mono(m: MapState, kf_id: jax.Array,
         pt_found=m.pt_found.at[safe].set(
             jnp.where(alloc, 1, m.pt_found[safe])
         ),
-        kf_obs_pt=m.kf_obs_pt.at[kf_id].set(
-            jnp.where(alloc, new_ids, m.kf_obs_pt[kf_id])
-        ).at[nb, slot_n].set(
-            jnp.where(alloc, new_ids, m.kf_obs_pt[nb, slot_n]), mode="drop"
-        ),
+        kf_obs_pt=obs,
         n_pt=m.n_pt + jnp.sum(alloc.astype(jnp.int32)),
     )
 

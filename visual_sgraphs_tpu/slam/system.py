@@ -102,6 +102,22 @@ class SlamSystem:
     """Single-session SLAM over an RGB-D / monocular stream."""
 
     def __init__(self, config: SystemConfig = SystemConfig()):
+        t = config.tracking
+        fx_scale = config.camera.fx / t.match_radius_ref_fx
+        if abs(fx_scale - 1.0) > 0.05:
+            # the match windows are ANGULAR quantities expressed in pixels
+            # at the reference focal length: a narrower-FOV camera moves
+            # the same scene rotation across proportionally more pixels,
+            # and a fixed pixel window starves the matcher (measured: the
+            # default 15 px window at fx=517/640x480 drifted 7x worse
+            # than the same angular window; the reference hard-codes
+            # windows for its fixed per-dataset calibrations instead)
+            import dataclasses as _dc
+            config = _dc.replace(config, tracking=_dc.replace(
+                t,
+                match_radius_coarse=t.match_radius_coarse * fx_scale,
+                match_radius_fine=t.match_radius_fine * fx_scale,
+            ))
         self.cfg = config
         self.cam_K = jnp.asarray(config.camera.K)
         self.cam_bf = jnp.asarray(config.camera.bf, jnp.float32)
@@ -843,6 +859,22 @@ class SlamSystem:
             self.lost_frames = 0
             self.peak_inliers = max(self.peak_inliers, n_inl)
             self._stats_buf.append((p["res"].slot_pt, p["res"].vis_pt))
+            if self.atlas.stashed and not self.cfg.localization_only:
+                # frame-rate merge probe: a revisit of a stashed map can
+                # be a handful of frames wide; waiting for the next
+                # keyframe can miss it entirely
+                self._merge_probe = getattr(self, "_merge_probe", 0) + 1
+                if self._merge_probe % 2 == 0:
+                    fp = _compose_rel(
+                        p["T_rel"],
+                        self.map.kf_pose[
+                            jnp.asarray(p["ref_host"], jnp.int32)
+                        ],
+                    )
+                    if self.try_merge_stashed(
+                        p["ref_host"], p["frame"], frame_pose=fp
+                    ):
+                        return
             if not self.cfg.localization_only and self._need_keyframe(n_inl):
                 with self.timers.stage("kf_insert", sync_on=None):
                     self._insert_keyframe_fused(p["frame"], p["res"], n_inl,
@@ -1000,6 +1032,15 @@ class SlamSystem:
             mgr = self.scenegraph
             mgr._kf_count += 1
             do_maint = (mgr._kf_count % mgr.maintenance_interval) == 0
+            if mgr.cfg.room_method == "freespace":
+                # free-space room path (SemanticsManager.cc:302-403): the
+                # grid accumulates per keyframe; clustering + candidate
+                # upsert runs at maintenance cadence
+                depth_img = getattr(self, "_last_depth_img", None)
+                if depth_img is not None:
+                    mgr.update_freespace(depth_img, res.pose, self.cam_K)
+                if do_maint:
+                    mgr.infer_rooms_freespace()
             # nearest-in-time semantics for THIS keyframe's frame (<50 ms,
             # common.cc:1190) — timestamps stay host-side float64, so real
             # TUM-epoch stamps (~1.3e9 s) match exactly (an f32 round trip
@@ -1150,9 +1191,44 @@ class SlamSystem:
             self.state = TrackState.OK
             self.lost_frames = 0
             new_pose = lie.se3_normalize(res.pose)
+            if (self.imu is not None and self.imu.initialized
+                    and frame_pre is not None and prior_w > 0.0):
+                # exact per-frame inertial solve on top of the visual
+                # result: joint [pose, velocity, biases] GN with the
+                # preintegration factor to the last frame
+                # (PoseInertialOptimizationLastFrame, Optimizer.cc:5999)
+                from visual_sgraphs_tpu.inertial.pipeline import (
+                    pose_inertial_gn,
+                )
+
+                T_r, v_r, bg_r, ba_r, n_vi = pose_inertial_gn(
+                    self.map, frame, res.slot_pt, new_pose,
+                    self.imu.vel, self.last_pose,
+                    getattr(self.imu, "vel_prev", self.imu.vel),
+                    frame_pre, self.imu.T_bc, self.cam_K, self.cam_bf,
+                    jnp.asarray([
+                        1.0 / (self.imu.cfg.walk_gyro *
+                               np.sqrt(max(float(frame_pre.dt), 1e-3))),
+                        1.0 / (self.imu.cfg.walk_acc *
+                               np.sqrt(max(float(frame_pre.dt), 1e-3))),
+                    ], jnp.float32),
+                )
+                if int(n_vi) >= t.min_inliers_ok:
+                    new_pose = lie.se3_normalize(T_r)
+                    self.imu.vel = v_r
+                    self.imu._cur_bias_g = bg_r
+                    self.imu._cur_bias_a = ba_r
+                    vi_solved = True
+                else:
+                    vi_solved = False
+            else:
+                vi_solved = False
             self.velocity = _velocity_of(new_pose, self.last_pose)
-            if self.imu is not None and self._last_ts is not None:
+            if (self.imu is not None and self._last_ts is not None
+                    and not vi_solved):
                 # re-anchor IMU velocity on the accepted visual pose delta
+                # (when the joint VI solve ran, its preint-consistent
+                # velocity estimate is strictly better — keep it)
                 self.imu.correct_velocity(
                     self.last_pose, new_pose, ts - self._last_ts
                 )
@@ -1245,10 +1321,14 @@ class SlamSystem:
             epoch, m_old, db, vocab, sg_old = self.atlas.stashed[i]
             if db is None or vocab is None:
                 continue
+            # stashed-map attempts fan out wider than in-map reloc: a
+            # young session's online vocab ranks the old map's keyframes
+            # weakly, and a merge missed for a ranking miss is a map
+            # permanently split (MergeLocal has the full DetectNBest list)
             hit = reloc_in_map(
                 m_old, db, vocab, frame, self.cam_K,
                 self.cfg.place.reloc_min_inliers,
-                top_n=self.cfg.place.top_n_candidates,
+                top_n=max(8, self.cfg.place.top_n_candidates),
             )
             if hit is None:
                 continue
@@ -1284,10 +1364,16 @@ class SlamSystem:
             return True
         return False
 
-    def try_merge_stashed(self, kf: int, frame: FrameObs) -> bool:
-        """Merge detection at keyframe time: if this keyframe relocalizes
-        inside a stashed map, weld the active (young) map into it
-        (LoopClosing::MergeLocal, LoopClosing.cc:1182)."""
+    def try_merge_stashed(self, kf: int, frame: FrameObs,
+                          frame_pose=None) -> bool:
+        """Merge detection: if ``frame`` relocalizes inside a stashed map,
+        weld the active (young) map into it (LoopClosing::MergeLocal,
+        LoopClosing.cc:1182).  Called at every keyframe AND (while stashed
+        maps exist) at frame rate — a genuine revisit of a lost map can be
+        only a few frames wide, and a merge missed for cadence reasons is
+        a permanently split map.  ``frame_pose``: the frame's tracked
+        T_cw in the young map (defaults to keyframe ``kf``'s pose — the
+        keyframe-time call, where frame IS the keyframe's frame)."""
         from visual_sgraphs_tpu.place.loop_closer import reloc_in_map
         from visual_sgraphs_tpu.slam import atlas as atlas_mod
 
@@ -1298,17 +1384,18 @@ class SlamSystem:
             hit = reloc_in_map(
                 m_old, db, vocab, frame, self.cam_K,
                 self.cfg.place.reloc_min_inliers,
-                top_n=self.cfg.place.top_n_candidates,
+                top_n=max(8, self.cfg.place.top_n_candidates),
             )
             if hit is None:
                 continue
             T_cw_old, _ = hit
             # welding transform: young world -> old world.  merge_maps
-            # applies X' = A·X, T_cw' = T_cw·A⁻¹, so for the welded KF to
-            # land at the relocalized pose we need
+            # applies X' = A·X, T_cw' = T_cw·A⁻¹, so for the welded frame
+            # to land at the relocalized pose we need
             # A = T_old<-young = T_cw_old⁻¹ ∘ T_cw_young.
             self._abort_pending()
-            T_cw_young = self.map.kf_pose[kf]
+            T_cw_young = (self.map.kf_pose[kf] if frame_pose is None
+                          else jnp.asarray(frame_pose))
             A = lie.se3_normalize(lie.se3_multiply(
                 lie.se3_inverse(jnp.asarray(T_cw_old)),
                 jnp.asarray(T_cw_young),
