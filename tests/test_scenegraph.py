@@ -111,7 +111,8 @@ def test_detect_planes_and_semantics():
     T_wc = jnp.asarray(scene.trajectory(1)[0])
     gray, depth, sem = render(T_wc, scene.planes, scene.cam_K, 240, 320)
     T_cw = lie.se3_inverse(T_wc)
-    coeffs_w, valid, centroid, npts, votes, local, _quad = detect_planes_from_depth(
+    (coeffs_w, valid, centroid, npts, votes, local, _quad,
+     _vox) = detect_planes_from_depth(
         depth, sem, T_cw, scene.cam_K, jax.random.PRNGKey(0)
     )
     assert int(valid.sum()) >= 2

@@ -130,6 +130,9 @@ class CapacityConfig:
     # retire far more keyframes than K)
     max_retired: int = 4096
     max_planes: int = 64
+    # per-plane membership hash slots (Plane.cc octree equivalent);
+    # 512 slots at 0.3 m voxels cover ~45 m2 of wall surface per plane
+    plane_vox_slots: int = 512
     max_rooms: int = 16
     max_doors: int = 16
     max_markers: int = 32

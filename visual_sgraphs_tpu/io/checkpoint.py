@@ -24,7 +24,7 @@ import json
 import jax
 import numpy as np
 
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4
 
 
 def _put_tree(arrays: dict, tag: str, tree) -> int:
@@ -49,6 +49,21 @@ _V2_MAP_FIELDS = (
     "kf_angle", "kf_desc", "kf_kp_valid", "kf_obs_pt", "pt_pos", "pt_valid",
     "pt_desc", "pt_first_kf", "pt_visible", "pt_found", "n_kf", "n_pt",
 )
+
+
+def _get_sg(data, n_leaves: int, tag: str, template, version: int):
+    """Load a SceneGraphState; v<=3 archives predate the per-plane voxel
+    membership table (``pl_vox``, appended as the LAST field), which the
+    upgrade fills with its empty default — membership repopulates from
+    live observations."""
+    import jax.numpy as jnp
+
+    if version >= 4:
+        return _get_tree(data, n_leaves, tag, template)
+    leaves = [jnp.asarray(data[f"{tag}.{i}"]) for i in range(n_leaves)]
+    leaves.append(jnp.full_like(template.pl_vox, -1))
+    _, treedef = jax.tree.flatten(template)
+    return jax.tree.unflatten(treedef, leaves)
 
 
 def _get_map(data, n_leaves: int, tag: str, template, version: int):
@@ -226,7 +241,8 @@ def load_checkpoint(path: str, system, scenegraph=None, loop_closer=None):
 
     sg = scenegraph if scenegraph is not None else system.scenegraph
     if sg is not None and "sg_leaves" in manifest:
-        sg.state = _get_tree(data, manifest["sg_leaves"], "sg", sg.state)
+        sg.state = _get_sg(data, manifest["sg_leaves"], "sg", sg.state,
+                           version)
 
     lc = loop_closer if loop_closer is not None else getattr(
         system, "loop_closer", None)
@@ -252,8 +268,9 @@ def load_checkpoint(path: str, system, scenegraph=None, loop_closer=None):
                 db, vocab = _get_db(data, manifest, f"stash{j}.db")
             sg_state = None
             if "sg_leaves" in entry and sg is not None:
-                sg_state = _get_tree(
-                    data, entry["sg_leaves"], f"stash{j}.sg", sg.state
+                sg_state = _get_sg(
+                    data, entry["sg_leaves"], f"stash{j}.sg", sg.state,
+                    version,
                 )
             system.atlas.stashed.append(
                 StashedMap(entry["epoch"], m, db, vocab, sg_state)

@@ -109,10 +109,16 @@ def _landmark_terms(kf_pose, X_w, kf_idx, uvr, ovalid, cam_K, bf, huber):
     v_hat = fy * p[:, 1] * inv_z + cy
     has_ur = uvr[:, 2] > 0
     ur_hat = u_hat - bf * inv_z
+    # depth-noise-aware disparity weight (sigma_z ~ z^2): recover the
+    # measured range from the observed disparity and downweight far rows
+    # (see pose_only_gn; the reference's ThDepth close/far split)
+    disp = jnp.maximum(uvr[:, 0] - uvr[:, 2], 1e-3)
+    z_meas = jnp.where(has_ur, bf / disp, 1.0)
+    w_ur = jnp.minimum(1.0, (2.5 / jnp.maximum(z_meas, 0.1)) ** 2)
     r = jnp.stack([
         u_hat - uvr[:, 0],
         v_hat - uvr[:, 1],
-        jnp.where(has_ur, ur_hat - uvr[:, 2], 0.0),
+        jnp.where(has_ur, (ur_hat - uvr[:, 2]) * w_ur, 0.0),
     ], axis=1)  # (O, 3)
     chi2 = jnp.sum(r * r, axis=1)
     ok = ovalid & (kf_idx >= 0) & (p[:, 2] > 0.05)
@@ -126,7 +132,7 @@ def _landmark_terms(kf_pose, X_w, kf_idx, uvr, ovalid, cam_K, bf, huber):
         jnp.stack([zero, fy * inv_z, -fy * p[:, 1] * inv_z * inv_z], 1),
         jnp.stack([fx * inv_z, zero,
                    (-fx * p[:, 0] + bf) * inv_z * inv_z], 1)
-        * has_ur[:, None],
+        * (has_ur * w_ur)[:, None],
     ], axis=1)
     # pose tangent: dp/dxi = [I | -hat(p)] (O, 3, 6)
     hatp = jax.vmap(lie.hat)(p)

@@ -60,6 +60,7 @@ def associate_and_update(
     det_local: jax.Array,  # (n_det, 4) plane in camera frame (observation)
     kf_id: jax.Array,
     det_quadric: jax.Array = None,  # (n_det, 4, 4) camera-frame Gij
+    det_vox: jax.Array = None,  # (n_det, V) surface-membership voxel keys
     ominus_thresh: float = 0.3,
     dist_thresh: float = 0.35,
     centroid_thresh: float = 1.5,
@@ -150,6 +151,18 @@ def associate_and_update(
         )
         plane_id = jnp.where(matched, best, jnp.where(can_alloc, slot, -1))
 
+        # --- merge the detection's surface-membership voxels into the
+        # plane's table (Plane.cc accumulates the observation cloud into
+        # the per-plane octree the same way); new keys overwrite their
+        # hash slot, untouched slots keep their history
+        if det_vox is not None:
+            row = jnp.maximum(plane_id, 0)
+            merged_vox = jnp.where(
+                (plane_id >= 0) & (det_vox[i] >= 0),
+                det_vox[i], sg.pl_vox[row],
+            )
+            sg = sg._replace(pl_vox=sg.pl_vox.at[row].set(merged_vox))
+
         # --- record the observation for plane-KF factors
         oslot = jnp.minimum(sg.n_obs, sg.ob_kf.shape[0] - 1)
         rec = (plane_id >= 0) & (sg.n_obs < sg.ob_kf.shape[0])
@@ -176,7 +189,8 @@ def associate_and_update(
     return sg
 
 
-@functools.partial(jax.jit, static_argnames=("n_cloud", "n_det", "n_hyp"))
+@functools.partial(jax.jit, static_argnames=("n_cloud", "n_det", "n_hyp",
+                                             "vox_slots"))
 def detect_planes_from_depth(
     depth_img: jax.Array,
     sem_img: jax.Array | None,
@@ -190,6 +204,7 @@ def detect_planes_from_depth(
     voxel: float = 0.08,
     dist_thresh: float = 0.04,
     min_inliers: float = 150.0,
+    vox_slots: int = 512,
 ):
     """Depth (+ optional per-pixel class / confidence) image -> detected
     world planes.
@@ -265,7 +280,25 @@ def detect_planes_from_depth(
     quad = jnp.einsum("dn,ni,nj->dij", memw, ph, ph) / jnp.maximum(
         jnp.sum(memw, axis=1), 1.0
     )[:, None, None]
-    return coeffs_w, det_valid, centroid, npts, votes, coeffs_c, quad
+    # per-detection surface-membership voxel keys (the per-Plane octree
+    # the reference queries for membership, Plane.cc:81-140): every member
+    # point PROJECTED onto its plane, quantized, hashed into a (V,) row
+    from visual_sgraphs_tpu.scenegraph.state import voxel_key, voxel_slot
+
+    V = vox_slots
+    nvec = coeffs_w[:, :3]  # (n_det, 3)
+    sd_w = pts_w @ nvec.T + coeffs_w[:, 3][None, :]  # (M, n_det)
+    proj = pts_w[None, :, :] - sd_w.T[:, :, None] * nvec[:, None, :]
+    keys = voxel_key(proj)  # (n_det, M)
+    slots = voxel_slot(keys, V)
+    d_idx = jnp.broadcast_to(
+        jnp.arange(keys.shape[0], dtype=jnp.int32)[:, None], keys.shape
+    )
+    det_vox = jnp.full((keys.shape[0], V), -1, jnp.int32).at[
+        jnp.where(member, d_idx, 0), jnp.where(member, slots, 0)
+    ].max(jnp.where(member, keys, -1))
+    return (coeffs_w, det_valid, centroid, npts, votes, coeffs_c, quad,
+            det_vox)
 
 
 # ---------------------------------------------------------------------------
@@ -421,6 +454,8 @@ def refine_points_semantic(m, sg: SceneGraphState, T_cw: jax.Array,
     frame).  Returns the updated map."""
     import jax.numpy as jnp
 
+    from visual_sgraphs_tpu.scenegraph.state import voxel_key, voxel_slot
+
     sem = plane_semantics(sg, min_votes)
     planes_ok = sg.pl_valid & (sem != UNDEFINED)
     n = sg.pl_coeffs[:, :3]  # (P, 3)
@@ -428,13 +463,21 @@ def refine_points_semantic(m, sg: SceneGraphState, T_cw: jax.Array,
     C = lie.se3_inverse(T_cw)[4:7]  # camera center in world
     side_cam = n @ C + d  # (P,) camera side of each plane
     sd = m.pt_pos @ n.T + d[None, :]  # (N, P) signed point distances
-    lat2 = jnp.sum(
-        (m.pt_pos[:, None, :] - sg.pl_centroid[None, :, :]) ** 2, axis=-1
-    )
+    # extent test: the point's PROJECTION onto the plane must fall in a
+    # voxel the plane's observations actually covered (the reference's
+    # octree membership query, Plane.cc:121 — replaces the centroid
+    # lateral-radius proxy, which wrongly culled points on parallel-but-
+    # distinct walls and wrongly spared a long wall's far end)
+    proj = m.pt_pos[:, None, :] - sd[:, :, None] * n[None, :, :]  # (N,P,3)
+    keys = voxel_key(proj)  # (N, P)
+    slots = voxel_slot(keys, sg.pl_vox.shape[1])
+    in_extent = (
+        jnp.take_along_axis(sg.pl_vox, slots.T, axis=1).T == keys
+    )  # (N, P): pl_vox[p, slots[n,p]] == keys[n,p]
     behind = (
         (sd * side_cam[None, :] < 0)
         & (jnp.abs(sd) > behind_thresh)
-        & (lat2 < lateral_radius ** 2)
+        & in_extent
         & planes_ok[None, :]
     )
     bad = m.pt_valid & jnp.any(behind, axis=1)
@@ -705,10 +748,11 @@ class SceneGraphManager:
             conf_img=None if conf_img is None else jnp.asarray(conf_img),
             dist_thresh=self.cfg.ransac_dist_thresh,
         )
-        coeffs_w, det_valid, centroid, npts, votes, local, quad = det
+        (coeffs_w, det_valid, centroid, npts, votes, local, quad,
+         det_vox) = det
         self.state = associate_and_update(
             self.state, coeffs_w, det_valid, centroid, npts, votes, local,
-            kf_id, det_quadric=quad,
+            kf_id, det_quadric=quad, det_vox=det_vox,
             ominus_thresh=self.cfg.plane_assoc_ominus_thresh,
             dist_thresh=self.cfg.plane_assoc_dist_thresh,
         )

@@ -62,6 +62,12 @@ class SceneGraphState(NamedTuple):
     n_rooms: jax.Array
     n_doors: jax.Array
     n_markers: jax.Array
+    # per-plane voxel-membership hash table (LAST field: checkpoint v3
+    # archives predate it and upgrade by appending the default) — the
+    # octree the reference keeps per Plane for membership queries
+    # (Plane.cc:81-140), as an open-addressed set of occupied surface
+    # voxel keys
+    pl_vox: jax.Array = None  # (P, V) int32 voxel key or -1
 
     @property
     def P(self):
@@ -102,7 +108,26 @@ def empty_scenegraph(cap: CapacityConfig = CapacityConfig(),
         n_rooms=jnp.zeros((), i32),
         n_doors=jnp.zeros((), i32),
         n_markers=jnp.zeros((), i32),
+        pl_vox=jnp.full((P, cap.plane_vox_slots), -1, i32),
     )
+
+
+MEMBERSHIP_VOXEL = 0.3  # m — plane-surface membership resolution
+
+
+def voxel_key(p: jax.Array, vox: float = MEMBERSHIP_VOXEL) -> jax.Array:
+    """(..., 3) world points -> (...) int32 packed voxel keys (10 bits
+    per axis, +-~150 m range at 0.3 m)."""
+    idx = jnp.floor(p / vox).astype(jnp.int32) + 512
+    idx = jnp.clip(idx, 0, 1023)
+    return (idx[..., 0] << 20) | (idx[..., 1] << 10) | idx[..., 2]
+
+
+def voxel_slot(key: jax.Array, V: int) -> jax.Array:
+    """Hash slot of a voxel key in a (V,)-row table (Knuth multiplicative;
+    uint32 wraparound is the modulo)."""
+    h = (key.astype(jnp.uint32) * jnp.uint32(2654435761)) >> jnp.uint32(16)
+    return (h % jnp.uint32(V)).astype(jnp.int32)
 
 
 def plane_semantics(sg: SceneGraphState, min_votes: float = 3.0) -> jax.Array:

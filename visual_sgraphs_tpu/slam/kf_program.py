@@ -97,10 +97,11 @@ def make_kf_program(
                 conf_img=conf_img,
                 dist_thresh=sg_cfg.ransac_dist_thresh,
             )
-            coeffs_w, det_valid, centroid, npts, votes, local, quad = det
+            (coeffs_w, det_valid, centroid, npts, votes, local, quad,
+             det_vox) = det
             sg = associate_and_update(
                 sg, coeffs_w, det_valid, centroid, npts, votes, local,
-                kf, det_quadric=quad,
+                kf, det_quadric=quad, det_vox=det_vox,
                 ominus_thresh=sg_cfg.plane_assoc_ominus_thresh,
                 dist_thresh=sg_cfg.plane_assoc_dist_thresh,
             )

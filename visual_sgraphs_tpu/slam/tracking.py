@@ -123,6 +123,14 @@ def pose_only_gn(T_init, xw, uv, valid, cam_K, iters: int = 10,
     if use_stereo:
         has_d = valid & (depth > 0)
         ur_obs = uv[:, 0] - bf / jnp.where(has_d, depth, 1.0)
+        # depth-noise-aware disparity weight: RGB-D range error grows
+        # ~quadratically with range (Kinect: sigma_z ~ 0.002 z^2), so a
+        # far measurement's u_r residual carries proportionally less
+        # information.  sqrt-weight = min(1, (z0/z)^2), z0 = 2.5 m — the
+        # reference instead treats points beyond ThDepth (~40 baselines)
+        # as mono-only (Tracking.cc:3318); a continuous downweight keeps
+        # far structure usable without letting its noise steer the solve
+        w_ur = jnp.minimum(1.0, (2.5 / jnp.maximum(depth, 0.1)) ** 2)
 
     def step(T, gate):
         R = lie.quat_to_matrix(T[:4])
@@ -135,7 +143,7 @@ def pose_only_gn(T_init, xw, uv, valid, cam_K, iters: int = 10,
             ur_hat = u_hat - bf * inv_z
             r = jnp.stack([
                 u_hat - uv[:, 0], v_hat - uv[:, 1],
-                jnp.where(has_d, ur_hat - ur_obs, 0.0),
+                jnp.where(has_d, (ur_hat - ur_obs) * w_ur, 0.0),
             ], axis=1)  # (M, 3)
         else:
             r = jnp.stack([u_hat - uv[:, 0], v_hat - uv[:, 1]],
@@ -157,7 +165,7 @@ def pose_only_gn(T_init, xw, uv, valid, cam_K, iters: int = 10,
             rows.append(jnp.stack([
                 fx * inv_z, jnp.zeros_like(z),
                 (-fx * p[:, 0] + bf) * inv_z * inv_z,
-            ], axis=1) * has_d[:, None])
+            ], axis=1) * (has_d * w_ur)[:, None])
         Jp = jnp.stack(rows, axis=1)
         R_dim = Jp.shape[1]
         # d p / d xi = [I | -hat(p)]  (M, 3, 6)
