@@ -523,18 +523,35 @@ def test_refine_points_semantic_culls_behind_wall():
     from visual_sgraphs_tpu.config import CapacityConfig, OrbConfig
     from visual_sgraphs_tpu.core import lie as _lie
     from visual_sgraphs_tpu.scenegraph.manager import refine_points_semantic
-    from visual_sgraphs_tpu.scenegraph.state import WALL, empty_scenegraph
+    from visual_sgraphs_tpu.scenegraph.state import (
+        WALL,
+        empty_scenegraph,
+        voxel_key,
+        voxel_slot,
+    )
     from visual_sgraphs_tpu.slam.map_state import empty_map
 
     m = empty_map(CapacityConfig(max_keyframes=4, max_points=64),
                   OrbConfig(n_features=8))
     # wall: plane z = 5 (normal -z, n.x + d = 0 -> [0,0,-1,5])
-    sg = empty_scenegraph(CapacityConfig(max_planes=4), max_obs=16)
+    cap = CapacityConfig(max_planes=4)
+    sg = empty_scenegraph(cap, max_obs=16)
+    # observed surface extent: x, y in [-2.5, 2.5] on the wall (the
+    # membership voxels an observation of that patch would deposit)
+    gx = np.arange(-2.5, 2.5, 0.15)
+    surf = np.stack(np.meshgrid(gx, gx, indexing="ij"), -1).reshape(-1, 2)
+    surf = jnp.asarray(
+        np.concatenate([surf, np.full((len(surf), 1), 5.0)], 1),
+        jnp.float32,
+    )
+    keys = voxel_key(surf)
+    slots = voxel_slot(keys, cap.plane_vox_slots)
     sg = sg._replace(
         pl_valid=sg.pl_valid.at[0].set(True),
         pl_coeffs=sg.pl_coeffs.at[0].set(jnp.asarray([0, 0, -1.0, 5.0])),
         pl_centroid=sg.pl_centroid.at[0].set(jnp.asarray([0, 0, 5.0])),
         pl_votes=sg.pl_votes.at[0, WALL].set(5.0),
+        pl_vox=sg.pl_vox.at[0, slots].set(keys),
     )
     pts = jnp.asarray([
         [0.0, 0.0, 3.0],   # in front of the wall       -> keep

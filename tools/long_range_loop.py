@@ -56,7 +56,11 @@ def main(n_frames: int = 1600):
         tracking=TrackingConfig(pipeline_depth=8, kf_max_interval=4),
         mapping=MappingConfig(lba_iters=6, lba_interval=2, cull_interval=4),
         loop_closing=True,
-        place=PlaceConfig(vocab_min_keyframes=8, consistency=1, min_gap=40,
+        # train the vocabulary late (24 KFs ~ 14k descriptors) so the
+        # data-driven depth rule grants the full 8^4 tree — at 400+ live
+        # keyframes the deeper tree's retrieval discrimination is what
+        # keeps the multi-hundred-KF-gap query sharp
+        place=PlaceConfig(vocab_min_keyframes=24, consistency=1, min_gap=40,
                           gba_after_loop=False, loop_local_ba=True),
     )
     system = SlamSystem(cfg)

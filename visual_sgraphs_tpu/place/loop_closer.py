@@ -377,9 +377,22 @@ class LoopCloser:
         cap = self.cfg.vocab_train_max_desc
         if desc.shape[0] > cap:
             desc = desc[self._rng.choice(desc.shape[0], cap, replace=False)]
+        # data-driven tree depth: a leaf needs several training
+        # descriptors to generalize — with W >> n_desc/3 most leaves are
+        # singletons and descriptor noise sends a revisit's features to
+        # different words than the mapping pass (measured: an 8^4 tree
+        # trained on ~2k descriptors stopped retrieving true revisits
+        # that an 8^3 tree found; the reference sidesteps this with a
+        # ~1M-word vocabulary pretrained on millions of descriptors,
+        # TemplatedVocabulary.h:1478).  Callers wanting the full depth
+        # delay training until enough keyframes exist
+        # (vocab_min_keyframes).
+        levels = self.cfg.vocab_levels
+        b = self.cfg.vocab_branching
+        while levels > 2 and (b ** levels) * 3 > desc.shape[0]:
+            levels -= 1
         self.vocab = vocab_mod.fit_vocab(
-            desc, branching=self.cfg.vocab_branching,
-            levels=self.cfg.vocab_levels, seed=self.cfg.seed,
+            desc, branching=b, levels=levels, seed=self.cfg.seed,
         )
         # backfill every existing keyframe: one batched BoW pass + one
         # database write (the per-KF host loop was quadratic pain at the

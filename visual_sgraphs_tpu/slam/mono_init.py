@@ -57,7 +57,23 @@ def essential_ransac(x1, x2, valid, key, n_hyp: int = 256,
     inl = (err < thresh) & valid[None, :]
     scores = jnp.sum(inl, axis=1)
     best = jnp.argmax(scores)
-    return E[best], inl[best], scores[best]
+    # final polish: re-solve the 8-point system over ALL inliers of the
+    # winning hypothesis (TwoViewReconstruction re-estimates F/H from the
+    # full inlier set the same way) — an 8-sample model leaves several
+    # pixels of bias that the dense least-squares fit removes
+    w_all = inl[best].astype(x1.dtype)
+    A_all = jnp.einsum("ni,nj->nij", x2, x1).reshape(-1, 9) * w_all[:, None]
+    _, _, Vt_all = jnp.linalg.svd(A_all, full_matrices=False)
+    E_ref = Vt_all[-1].reshape(3, 3)
+    U2, _, Vt3 = jnp.linalg.svd(E_ref)
+    diag2 = jnp.asarray([1.0, 1.0, 0.0], E_ref.dtype)
+    E_ref = U2 @ (diag2[:, None] * Vt3)
+    err_r = geometry.sampson_error(E_ref, x1, x2)
+    inl_r = (err_r < thresh) & valid
+    better = jnp.sum(inl_r) >= scores[best]
+    E_out = jnp.where(better, E_ref, E[best])
+    inl_out = jnp.where(better, inl_r, inl[best])
+    return E_out, inl_out, jnp.sum(inl_out)
 
 
 @functools.partial(jax.jit, static_argnames=("n_hyp",))
